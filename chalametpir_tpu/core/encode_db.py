@@ -1,0 +1,115 @@
+"""Encode a key-value database into the filter matrix D.
+
+Host-side DB encoding pipeline (reference:
+chalametpir_common/src/matrix.rs:633-945):
+
+1. batch-hash every key (vectorised TurboSHAKE),
+2. build the binary fuse filter (peel order),
+3. batch-encode every (hashed_key, value) row,
+4. walk the peel order in reverse, assigning
+       D[h_found] = (enc_row - sum(D[h_other]) - mask(hash, col)) mod 2^b.
+
+Step 4 is a sequential scatter/gather chain (each row may read rows
+assigned later in the walk); the native C++ engine accelerates it for
+large databases, with this numpy loop as the semantic reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import EmptyKVDatabase
+from ..params import SERVER_SETUP_MAX_ATTEMPT_COUNT
+from . import codec, hashing
+from .filter import BinaryFuseFilter, construct_filter, hash_batch
+
+try:
+    from ..native import engine as _native
+except Exception:  # pragma: no cover - native build unavailable
+    _native = None
+
+
+def from_kv_database(
+    db: dict[bytes, bytes],
+    arity: int,
+    mat_elem_bit_len: int,
+    max_attempt_count: int = SERVER_SETUP_MAX_ATTEMPT_COUNT,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, BinaryFuseFilter]:
+    """Encode `db` into an (num_fingerprints, cols) uint32 matrix D plus its
+    filter (reference: matrix.rs:633-894)."""
+    if len(db) == 0:
+        raise EmptyKVDatabase()
+    keys = list(db.keys())
+    values = list(db.values())
+
+    digests = hashing.hash_of_keys_batch(keys)  # (n, 4) uint64 words
+    filt, reverse_order, reverse_h, key_index = construct_filter(
+        digests, arity, mat_elem_bit_len, max_attempt_count, rng
+    )
+
+    max_value_len = max(len(v) for v in values)
+    cols = codec.encoded_row_width(max_value_len, mat_elem_bit_len)
+
+    digest_bytes = np.ascontiguousarray(digests).view(np.uint8).reshape(len(keys), 32)
+    rows_in_peel_order = codec.encode_rows(
+        digest_bytes[key_index],
+        [values[i] for i in key_index],
+        mat_elem_bit_len,
+        cols,
+    )
+
+    hrows = np.stack(
+        hash_batch(arity, reverse_order, filt.segment_length, filt.segment_count_length)
+    ).astype(np.int64)  # (arity, n)
+
+    mat = np.zeros((filt.num_fingerprints, cols), dtype=np.uint32)
+    if _native is not None:
+        _native.assemble_rows(
+            mat, rows_in_peel_order, reverse_order, reverse_h, hrows, mat_elem_bit_len
+        )
+    else:
+        _assemble_rows_numpy(
+            mat, rows_in_peel_order, reverse_order, reverse_h, hrows, mat_elem_bit_len
+        )
+    return mat, filt
+
+
+def _assemble_rows_numpy(mat, enc_rows, reverse_order, reverse_h, hrows, b):
+    """Reverse-peel-order row assignment (reference: matrix.rs:707-746)."""
+    arity, n = hrows.shape
+    mask = np.uint32((1 << b) - 1)
+    cols = mat.shape[1]
+    col_idx = np.arange(cols, dtype=np.uint64)
+    for i in range(n - 1, -1, -1):
+        found = int(reverse_h[i])
+        acc = enc_rows[i].copy()
+        for pos in range(arity):
+            if pos != found:
+                acc -= mat[hrows[pos, i]]
+        mask_row = (hashing.murmur64(np.uint64(reverse_order[i]) + col_idx) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        mat[hrows[found, i]] = (acc - mask_row) & mask
+
+
+def recover_value(
+    mat: np.ndarray, key: bytes, filt: BinaryFuseFilter
+) -> bytes:
+    """Plaintext recovery of a value straight from D — the non-private dual
+    of the PIR path, used by tests (reference: matrix.rs:769-805, 908-945)."""
+    from ..errors import DecodedRowNotPrependedWithDigestOfKey
+
+    digest = hashing.hash_of_key(key)
+    h = hashing.mix256(digest, filt.seed)
+    rows = hash_batch(filt.arity, h, filt.segment_length, filt.segment_count_length)
+    mask = np.uint32((1 << filt.mat_elem_bit_len) - 1)
+    acc = np.zeros(mat.shape[1], dtype=np.uint32)
+    for r in rows:
+        acc += mat[int(r)]
+    mask_row = hashing.row_mask(int(h), mat.shape[1], 32)
+    row = (acc + mask_row) & mask
+
+    kv = codec.decode_kv_from_row(row, filt.mat_elem_bit_len)
+    digest_bytes = np.asarray(digest).view(np.uint8).tobytes()
+    if kv[:32] != digest_bytes:
+        raise DecodedRowNotPrependedWithDigestOfKey()
+    return kv[32:]

@@ -1,0 +1,165 @@
+"""The PIR client: host-side, bit-exact with the reference wire protocol.
+
+Equivalent of the reference Client (reference:
+chalametpir_client/src/client.rs:13-283). Stays on the host on purpose —
+the reference client targets browsers/WASM, so ours targets plain
+CPython + numpy with no device dependency; queries it produces are
+byte-compatible with any conforming server (including the Rust one) and
+vice versa.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import codec, hashing, matrix_io, prg
+from ..core.filter import BinaryFuseFilter, hash_batch
+from ..errors import (
+    ArithmeticOverflowAddingQueryIndicator,
+    DecodedRowNotPrependedWithDigestOfKey,
+    InvalidHintMatrix,
+    InvalidResponseVector,
+    PendingQueryDoesNotExistForKey,
+    PendingQueryExistsForKey,
+)
+from ..params import LWE_DIMENSION, SEED_BYTE_LEN, query_indicator
+
+
+@dataclass
+class Query:
+    """Pending-query state: the secret unblinding vector c = s . M
+    (reference: client.rs:13-15)."""
+
+    vec_c: np.ndarray
+
+
+class Client:
+    def __init__(self, pub_mat_a: np.ndarray, hint_mat_m: np.ndarray, filt: BinaryFuseFilter):
+        self._pub_mat_a = pub_mat_a
+        self._hint_mat_m = hint_mat_m
+        self._filter = filt
+        self._pending: dict[bytes, Query] = {}
+        self._rng = np.random.default_rng()
+
+    @classmethod
+    def setup(cls, seed: bytes, hint_bytes: bytes, filter_param_bytes: bytes) -> "Client":
+        """Regenerate A from the seed, parse the hint
+        (reference: client.rs:39-57)."""
+        if len(seed) != SEED_BYTE_LEN:
+            raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
+        filt = BinaryFuseFilter.from_bytes(filter_param_bytes)
+        pub_mat_a = prg.expand_seed(LWE_DIMENSION, filt.num_fingerprints, seed)
+        hint_mat_m = matrix_io.matrix_from_bytes(hint_bytes)
+        if hint_mat_m.shape[0] != LWE_DIMENSION:
+            raise InvalidHintMatrix()
+        return cls(pub_mat_a, hint_mat_m, filt)
+
+    # -- query ---------------------------------------------------------------
+
+    def query(self, key: bytes) -> bytes:
+        """Build an encrypted query for `key`
+        (reference: client.rs:84-194). Raises
+        ArithmeticOverflowAddingQueryIndicator occasionally; callers retry
+        (the fresh secret makes the retry independent)."""
+        key = bytes(key)
+        if key in self._pending:
+            raise PendingQueryExistsForKey()
+
+        m = self._pub_mat_a.shape[1]
+        secret_s = self._sample_ternary(LWE_DIMENSION)
+        error_e = self._sample_ternary_u32(m)
+
+        query_b = (self._ternary_matvec(secret_s, self._pub_mat_a) + error_e.astype(np.uint64)).astype(np.uint32)
+        vec_c = self._ternary_matvec(secret_s, self._hint_mat_m).astype(np.uint32)
+
+        digest = hashing.hash_of_key(key)
+        fused = int(hashing.mix256(digest, self._filter.seed))
+        rows = hash_batch(
+            self._filter.arity,
+            np.uint64(fused),
+            self._filter.segment_length,
+            self._filter.segment_count_length,
+        )
+        delta = query_indicator(self._filter.mat_elem_bit_len)
+        for r in rows:
+            r = int(r)
+            total = int(query_b[r]) + delta
+            if total > 0xFFFFFFFF:
+                raise ArithmeticOverflowAddingQueryIndicator()
+            query_b[r] = total
+
+        self._pending[key] = Query(vec_c=vec_c)
+        return matrix_io.matrix_to_bytes(query_b[None, :])
+
+    # -- response ------------------------------------------------------------
+
+    def process_response(self, key: bytes, response_bytes: bytes) -> bytes:
+        """Decrypt, round, unmask, decode, and verify the digest prefix
+        (reference: client.rs:209-275)."""
+        key = bytes(key)
+        pending = self._pending.get(key)
+        if pending is None:
+            raise PendingQueryDoesNotExistForKey()
+
+        response = matrix_io.matrix_from_bytes(response_bytes)
+        if response.shape[0] != 1 or response.shape[1] != pending.vec_c.shape[0]:
+            raise InvalidResponseVector()
+
+        b = self._filter.mat_elem_bit_len
+        rounding_factor = np.uint32(query_indicator(b))
+        rounding_floor = np.uint32(int(rounding_factor) // 2)
+        mask = np.uint32((1 << b) - 1)
+
+        digest = hashing.hash_of_key(key)
+        fused = int(hashing.mix256(digest, self._filter.seed))
+
+        unscaled = response[0] - pending.vec_c  # uint32 wrap
+        scaled = unscaled // rounding_factor
+        rem = unscaled % rounding_factor
+        rounded = scaled + (rem > rounding_floor).astype(np.uint32)
+        mask_row = hashing.row_mask(fused, response.shape[1], b)
+        plaintext = ((rounded & mask) + mask_row) & mask
+
+        try:
+            kv = codec.decode_kv_from_row(plaintext, b)
+        finally:
+            # the reference removes the pending query on success and on
+            # decode failure alike (client.rs:267)
+            del self._pending[key]
+        digest_bytes = np.asarray(digest).view(np.uint8).tobytes()
+        if kv[:32] != digest_bytes:
+            raise DecodedRowNotPrependedWithDigestOfKey()
+        return kv[32:]
+
+    # -- benchmarking hooks (reference: client.rs:60-71) -----------------------
+
+    def discard_query(self, key: bytes) -> Query | None:
+        return self._pending.pop(bytes(key), None)
+
+    def insert_query(self, key: bytes, query: Query) -> None:
+        self._pending[bytes(key)] = query
+
+    # -- internals -------------------------------------------------------------
+
+    def _sample_ternary(self, n: int) -> np.ndarray:
+        """Uniform {0, 1, -1} as {0, 1, 2} codes
+        (reference: matrix.rs:572-619; -1 is u32::MAX on the wire)."""
+        return self._rng.integers(0, 3, size=n, dtype=np.int8)
+
+    def _sample_ternary_u32(self, n: int) -> np.ndarray:
+        t = self._sample_ternary(n)
+        out = np.zeros(n, dtype=np.uint32)
+        out[t == 1] = 1
+        out[t == 2] = 0xFFFFFFFF
+        return out
+
+    @staticmethod
+    def _ternary_matvec(t_codes: np.ndarray, mat: np.ndarray) -> np.ndarray:
+        """(s . mat) mod 2^32 for ternary s — plus/minus row sums, no
+        multiplies. numpy's uint64 accumulate wraps mod 2^64, whose low 32
+        bits are exactly the mod-2^32 result."""
+        pos = mat[t_codes == 1].sum(axis=0, dtype=np.uint64)
+        neg = mat[t_codes == 2].sum(axis=0, dtype=np.uint64)
+        return pos - neg  # uint64 wrap; caller truncates to uint32

@@ -1,0 +1,154 @@
+"""The PIR server: TPU-resident encoded DB, MXU respond path.
+
+Equivalent of the reference Server (reference:
+chalametpir_server/src/server.rs:16-218), redesigned for TPU:
+
+* the encoded DB is stored on-device as two int8 digit planes in the
+  (m, C) orientation — no transpose/compress step is needed because the
+  MXU streams the K dimension natively (the reference's transposed +
+  bit-packed layout exists to please CPU caches);
+* the hint matmul A . D runs on the MXU, with A streamed from the host
+  XOF in row blocks so the full (1774, m) matrix never occupies HBM;
+* respond accepts one query or a batch; batches lower to a single int8
+  matmul.
+
+A numpy backend (`backend="numpy"`) provides the same semantics without
+a device, used as the cross-check oracle in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import encode_db, matrix_io, prg
+from ..errors import (
+    EmptyKVDatabase,
+    IncompatibleDimensionForRowVectorTransposedMatrixMultiplication,
+)
+from ..params import (
+    LWE_DIMENSION,
+    SEED_BYTE_LEN,
+    SERVER_SETUP_MAX_ATTEMPT_COUNT,
+    find_mat_elem_bit_len,
+)
+
+
+class Server:
+    """Stateful PIR server holding the device-resident encoded database."""
+
+    def __init__(self, backend: str, planes, num_query_cols: int, num_response_cols: int, mat_elem_bit_len: int):
+        self._backend = backend
+        self._planes = planes  # jax: (d0, d1) int8 device arrays; numpy: D uint32
+        self._num_query_cols = num_query_cols
+        self._num_response_cols = num_response_cols
+        self.mat_elem_bit_len = mat_elem_bit_len
+
+    # -- setup ---------------------------------------------------------------
+
+    @classmethod
+    def setup(
+        cls,
+        seed: bytes,
+        db: dict[bytes, bytes],
+        arity: int = 3,
+        backend: str = "auto",
+        hint_block_rows: int | None = None,
+        rng: np.random.Generator | None = None,
+    ) -> tuple["Server", bytes, bytes]:
+        """Encode `db`, compute the hint M = A . D, return
+        (server, hint_bytes, filter_param_bytes)
+        (reference: server.rs:47-78)."""
+        if len(db) == 0:
+            raise EmptyKVDatabase()
+        if len(seed) != SEED_BYTE_LEN:
+            raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
+        backend = _resolve_backend(backend)
+
+        bit_len = find_mat_elem_bit_len(len(db))
+        mat_d, filt = encode_db.from_kv_database(
+            db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
+        )
+        m, cols = mat_d.shape
+
+        if backend == "numpy":
+            mat_a = prg.expand_seed(LWE_DIMENSION, m, seed)
+            hint = (mat_a.astype(np.uint64) @ mat_d.astype(np.uint64)).astype(np.uint32)
+            server = cls("numpy", mat_d, m, cols, bit_len)
+        else:
+            server, hint = cls._setup_jax(seed, mat_d, bit_len, hint_block_rows)
+
+        return server, matrix_io.matrix_to_bytes(hint), filt.to_bytes()
+
+    @classmethod
+    def _setup_jax(cls, seed, mat_d, bit_len, hint_block_rows):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import digits, matmul_u32
+
+        m, cols = mat_d.shape
+        p0_host, p1_host = digits.db_digit_planes_np(mat_d)
+        d0 = jax.device_put(p0_host)
+        d1 = jax.device_put(p1_host)
+
+        # Stream A row blocks host->device, folding each into M = A . D.
+        # Block size targets ~16 MB transfers (the sweet spot for the
+        # host link) unless overridden.
+        if hint_block_rows is None:
+            hint_block_rows = max(1, (16 << 20) // max(1, 4 * m))
+        hint_rows = []
+        for _r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
+            acc = jnp.zeros((block.shape[0], cols), jnp.int32)
+            acc = matmul_u32.digit_matmul_accumulate(acc, jax.device_put(block), d0, d1)
+            hint_rows.append(acc)
+        hint = np.concatenate([np.asarray(h) for h in hint_rows], axis=0).astype(np.uint32)
+        return cls("jax", (d0, d1), m, cols, bit_len), hint
+
+    # -- online --------------------------------------------------------------
+
+    def respond(self, query: bytes) -> bytes:
+        """Answer a single serialized client query
+        (reference: server.rs:184-190)."""
+        q = matrix_io.matrix_from_bytes(query)
+        if q.shape[0] != 1 or q.shape[1] != self._num_query_cols:
+            raise IncompatibleDimensionForRowVectorTransposedMatrixMultiplication()
+        out = self.respond_batch(q)
+        return matrix_io.matrix_to_bytes(out)
+
+    def respond_batch(self, queries: np.ndarray) -> np.ndarray:
+        """(Q, m) uint32 -> (Q, C) uint32. Batches ride a single MXU matmul."""
+        queries = np.asarray(queries, np.uint32)
+        if queries.ndim != 2 or queries.shape[1] != self._num_query_cols:
+            raise IncompatibleDimensionForRowVectorTransposedMatrixMultiplication()
+        if self._backend == "numpy":
+            return (
+                queries.astype(np.uint64) @ self._planes.astype(np.uint64)
+            ).astype(np.uint32)
+        import jax
+
+        from ..ops import respond as respond_ops
+
+        d0, d1 = self._planes
+        out = respond_ops.respond_batch(jax.device_put(queries), d0, d1)
+        return np.asarray(out).astype(np.uint32)
+
+    @property
+    def num_query_cols(self) -> int:
+        return self._num_query_cols
+
+    @property
+    def num_response_cols(self) -> int:
+        return self._num_response_cols
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        try:
+            import jax  # noqa: F401
+
+            return "jax"
+        except Exception:  # pragma: no cover
+            return "numpy"
+    if backend not in ("jax", "numpy"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend

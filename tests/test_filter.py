@@ -1,0 +1,86 @@
+"""Binary fuse filter construction and serde
+(reference: binary_fuse_filter.rs, matrix.rs:1488-1518)."""
+
+import numpy as np
+import pytest
+
+from chalametpir_tpu.core import hashing
+from chalametpir_tpu.core.filter import (
+    BinaryFuseFilter,
+    construct_filter,
+    filter_geometry,
+    hash_batch,
+    segment_length,
+    size_factor,
+)
+from chalametpir_tpu.errors import (
+    EmptyKVDatabase,
+    FailedToDeserializeFilterFromBytes,
+)
+
+
+def test_sizing_formulas():
+    # spot values recomputed from the reference formulas
+    # (binary_fuse_filter.rs:519-538)
+    assert segment_length(3, 1 << 10) == 1 << 8  # floor(ln 1024/ln 3.33 + 2.25) = 8
+    assert segment_length(4, 1 << 10) == 1 << 5  # floor(ln 1024/ln 2.91 - 0.5) = 5
+    assert size_factor(3, 1 << 20) == pytest.approx(max(1.125, 0.875 + 0.25 * np.log(1e6) / np.log(1 << 20)))
+    assert size_factor(4, 1 << 16) == pytest.approx(max(1.075, 0.77 + 0.305 * np.log(6e5) / np.log(1 << 16)))
+
+
+@pytest.mark.parametrize("arity", [3, 4])
+def test_construction_covers_all_keys(arity, rng):
+    n = 1 << 11
+    digests = rng.integers(0, 1 << 64, size=(n, 4), dtype=np.uint64)
+    filt, reverse_order, reverse_h, key_index = construct_filter(digests, arity, 10, 100, rng)
+    assert filt.filter_size == n
+    assert len(reverse_order) == n
+    assert sorted(key_index.tolist()) == list(range(n))
+    assert (reverse_h < arity).all()
+    # each peeled hash really is the fused hash of its key
+    fused = hashing.mix256(digests, filt.seed)
+    assert np.array_equal(fused[key_index], reverse_order)
+    # peel validity: walking the peel order backwards, the found slot of
+    # each key must not be touched by any key peeled before it
+    rows = np.stack(hash_batch(arity, reverse_order, filt.segment_length, filt.segment_count_length))
+    found_rows = rows[reverse_h, np.arange(n)]
+    seen = np.zeros(filt.num_fingerprints, bool)
+    for i in range(n - 1, -1, -1):
+        assert not seen[found_rows[i]]
+        seen[rows[:, i]] = True
+
+
+@pytest.mark.parametrize("arity,bpe_factor", [(3, 1.13), (4, 1.08)])
+def test_bits_per_entry_close_to_paper(arity, bpe_factor, rng):
+    # reference asserts ~1.13*b (arity 3) / ~1.08*b (arity 4) on a 1e6 DB
+    # (matrix.rs:1488-1518); at 2^15 the overhead is slightly larger
+    n = 1 << 15
+    b = 10
+    digests = rng.integers(0, 1 << 64, size=(n, 4), dtype=np.uint64)
+    filt, *_ = construct_filter(digests, arity, b, 100, rng)
+    assert filt.bits_per_entry() < bpe_factor * b * 1.15
+
+
+def test_empty_db_rejected(rng):
+    with pytest.raises(EmptyKVDatabase):
+        construct_filter(np.zeros((0, 4), np.uint64), 3, 10, 100, rng)
+
+
+def test_param_serde_roundtrip(rng):
+    filt = BinaryFuseFilter(
+        seed=rng.bytes(32),
+        arity=4,
+        segment_length=1 << 10,
+        segment_count_length=7 << 10,
+        num_fingerprints=123456,
+        filter_size=100000,
+        mat_elem_bit_len=9,
+    )
+    blob = filt.to_bytes()
+    assert len(blob) == 68  # reference wire size (README.md:33)
+    assert BinaryFuseFilter.from_bytes(blob) == filt
+
+
+def test_param_serde_rejects_bad_length():
+    with pytest.raises(FailedToDeserializeFilterFromBytes):
+        BinaryFuseFilter.from_bytes(b"\0" * 67)

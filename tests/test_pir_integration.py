@@ -1,0 +1,122 @@
+"""Full client <-> server round trips (reference: integrations/src/test_pir.rs)."""
+
+import numpy as np
+import pytest
+
+from chalametpir_tpu import Client, Server
+from chalametpir_tpu.errors import (
+    ArithmeticOverflowAddingQueryIndicator,
+    DecodedRowNotPrependedWithDigestOfKey,
+    PendingQueryDoesNotExistForKey,
+    PendingQueryExistsForKey,
+)
+from chalametpir_tpu.utils import generate_random_kv_database
+
+
+def _query_with_retry(client, key):
+    # the only tolerated failure is the query-indicator overflow, which is
+    # retried with fresh randomness (reference: test_pir.rs:67-74)
+    while True:
+        try:
+            return client.query(key)
+        except ArithmeticOverflowAddingQueryIndicator:
+            continue
+
+
+@pytest.mark.parametrize("arity", [3, 4])
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_round_trip(arity, backend, rng):
+    n = int(rng.integers(1 << 8, 1 << 10))
+    db = generate_random_kv_database(n, rng=rng, value_byte_len=(1, 128))
+    seed = rng.bytes(32)
+
+    server, hint, fparams = Server.setup(seed, db, arity=arity, backend=backend, rng=rng)
+    client = Client.setup(seed, hint, fparams)
+
+    keys = list(db.keys())
+    for idx in rng.integers(0, n, size=6):
+        key = keys[int(idx)]
+        response = server.respond(_query_with_retry(client, key))
+        assert client.process_response(key, response) == db[key]
+
+
+def test_batched_respond_matches_single(rng):
+    db = generate_random_kv_database(400, rng=rng, value_byte_len=(1, 64))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="jax", rng=rng)
+    client = Client.setup(seed, hint, fparams)
+
+    from chalametpir_tpu.core import matrix_io
+
+    keys = list(db.keys())[:4]
+    queries = [matrix_io.matrix_from_bytes(_query_with_retry(client, k))[0] for k in keys]
+    batch_out = server.respond_batch(np.stack(queries))
+    for i, k in enumerate(keys):
+        value = client.process_response(k, matrix_io.matrix_to_bytes(batch_out[i][None, :]))
+        assert value == db[k]
+
+
+def test_pending_query_statefulness(rng):
+    db = generate_random_kv_database(300, rng=rng, value_byte_len=(1, 32))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams)
+    key = next(iter(db))
+
+    query = _query_with_retry(client, key)
+    with pytest.raises(PendingQueryExistsForKey):
+        client.query(key)
+
+    with pytest.raises(PendingQueryDoesNotExistForKey):
+        client.process_response(b"other-key", b"\0" * 16)
+
+    response = server.respond(query)
+    assert client.process_response(key, response) == db[key]
+    # consumed: a second process_response must fail
+    with pytest.raises(PendingQueryDoesNotExistForKey):
+        client.process_response(key, response)
+
+
+def test_response_for_wrong_key_rejected(rng):
+    db = generate_random_kv_database(300, rng=rng, value_byte_len=(1, 32))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams)
+    keys = list(db.keys())[:2]
+
+    qa = _query_with_retry(client, keys[0])
+    qb = _query_with_retry(client, keys[1])
+    resp_b = server.respond(qb)
+    # feeding key A's pending state with key B's response must fail the
+    # digest check (or the decode), never return a wrong value
+    with pytest.raises(Exception) as exc_info:
+        client.process_response(keys[0], resp_b)
+    assert exc_info.type.__name__ in (
+        "RowNotDecodable",
+        "DecodedRowNotPrependedWithDigestOfKey",
+    )
+    resp_a = server.respond(qa)
+    # key A's own pending state was consumed by the failed attempt
+    # (mirrors the reference's remove-on-any-outcome semantics)
+    with pytest.raises(PendingQueryDoesNotExistForKey):
+        client.process_response(keys[0], resp_a)
+
+
+def test_interop_artifact_sizes(rng):
+    # communication sizes must follow the reference formulas
+    db = generate_random_kv_database(256, rng=rng, value_byte_len=(1, 64))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    assert len(fparams) == 68
+    from chalametpir_tpu.core import matrix_io
+    from chalametpir_tpu.params import LWE_DIMENSION
+
+    hint_mat = matrix_io.matrix_from_bytes(hint)
+    assert hint_mat.shape == (LWE_DIMENSION, server.num_response_cols)
+
+    client = Client.setup(seed, hint, fparams)
+    key = next(iter(db))
+    q = _query_with_retry(client, key)
+    assert len(q) == 8 + 4 * server.num_query_cols
+    r = server.respond(q)
+    assert len(r) == 8 + 4 * server.num_response_cols
