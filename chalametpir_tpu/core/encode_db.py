@@ -52,23 +52,33 @@ def from_kv_database(
     cols = codec.encoded_row_width(max_value_len, mat_elem_bit_len)
 
     digest_bytes = np.ascontiguousarray(digests).view(np.uint8).reshape(len(keys), 32)
-    rows_in_peel_order = codec.encode_rows(
-        digest_bytes[key_index],
-        [values[i] for i in key_index],
-        mat_elem_bit_len,
-        cols,
-    )
-
-    hrows = np.stack(
-        hash_batch(arity, reverse_order, filt.segment_length, filt.segment_count_length)
-    ).astype(np.int64)  # (arity, n)
+    values_in_peel_order = [values[i] for i in key_index]
+    if _native is not None:
+        rows_in_peel_order = _native.encode_rows(
+            digest_bytes[key_index], values_in_peel_order, mat_elem_bit_len, cols
+        )
+    else:
+        rows_in_peel_order = codec.encode_rows(
+            digest_bytes[key_index], values_in_peel_order, mat_elem_bit_len, cols
+        )
 
     mat = np.zeros((filt.num_fingerprints, cols), dtype=np.uint32)
     if _native is not None:
         _native.assemble_rows(
-            mat, rows_in_peel_order, reverse_order, reverse_h, hrows, mat_elem_bit_len
+            mat,
+            rows_in_peel_order,
+            reverse_order,
+            reverse_h,
+            None,
+            mat_elem_bit_len,
+            arity=filt.arity,
+            seg_len=filt.segment_length,
+            seg_cnt_len=filt.segment_count_length,
         )
     else:
+        hrows = np.stack(
+            hash_batch(arity, reverse_order, filt.segment_length, filt.segment_count_length)
+        ).astype(np.int64)  # (arity, n)
         _assemble_rows_numpy(
             mat, rows_in_peel_order, reverse_order, reverse_h, hrows, mat_elem_bit_len
         )

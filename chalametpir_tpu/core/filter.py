@@ -36,6 +36,11 @@ from ..errors import (
 from ..params import SEED_BYTE_LEN
 from . import hashing
 
+try:
+    from ..native import engine as _native
+except Exception:  # pragma: no cover - native build unavailable
+    _native = None
+
 _PARAM_STRUCT = struct.Struct("<32sIIIQQQ")
 
 
@@ -161,20 +166,21 @@ def construct_filter(
             continue  # fused-hash collision: retry with a fresh seed
 
         ordered = np.sort(hashes)  # segment-ordered placement
-        hrows = np.stack(hash_batch(arity, ordered, seg_len, seg_cnt_len)).astype(np.int64)
-
-        count = np.zeros(num_fp, dtype=np.int64)
-        np.add.at(count, hrows.reshape(-1), 1)
-        if count.max() > max_degree:
-            continue
-        hxor = np.zeros(num_fp, dtype=np.uint64)
-        pxor = np.zeros(num_fp, dtype=np.uint8)
-        for pos in range(arity):
-            np.bitwise_xor.at(hxor, hrows[pos], ordered)
-            if pos:
-                np.bitwise_xor.at(pxor, hrows[pos], np.uint8(pos))
-
-        peel = _peel(ordered, hrows, count, hxor, pxor, arity, seg_len, seg_cnt_len)
+        if _native is not None:
+            peel = _native.bff_peel(ordered, num_fp, arity, seg_len, seg_cnt_len)
+        else:
+            hrows = np.stack(hash_batch(arity, ordered, seg_len, seg_cnt_len)).astype(np.int64)
+            count = np.zeros(num_fp, dtype=np.int64)
+            np.add.at(count, hrows.reshape(-1), 1)
+            if count.max() > max_degree:
+                continue
+            hxor = np.zeros(num_fp, dtype=np.uint64)
+            pxor = np.zeros(num_fp, dtype=np.uint8)
+            for pos in range(arity):
+                np.bitwise_xor.at(hxor, hrows[pos], ordered)
+                if pos:
+                    np.bitwise_xor.at(pxor, hrows[pos], np.uint8(pos))
+            peel = _peel(ordered, hrows, count, hxor, pxor, arity, seg_len, seg_cnt_len)
         if peel is None:
             continue
         reverse_order, reverse_h = peel

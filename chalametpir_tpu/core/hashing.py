@@ -16,6 +16,11 @@ import numpy as np
 from .keccak import turboshake128, turboshake128_batch
 from ..params import HASHED_KEY_BYTE_LEN
 
+try:
+    from ..native import engine as _native
+except Exception:  # pragma: no cover - native build unavailable
+    _native = None
+
 _M1 = np.uint64(0xFF51AFD7ED558CCD)
 _M2 = np.uint64(0xC4CEB9FE1A85EC53)
 _U33 = np.uint64(33)
@@ -57,6 +62,8 @@ def hash_of_key(key: bytes) -> np.ndarray:
 
 def hash_of_keys_batch(keys: list[bytes]) -> np.ndarray:
     """Digests of many keys at once -> (n, 4) uint64."""
+    if _native is not None:
+        return _native.hash_keys(keys)
     n = len(keys)
     lengths = np.fromiter((len(k) for k in keys), dtype=np.int64, count=n)
     max_len = int(lengths.max(initial=0))
@@ -121,6 +128,9 @@ def row_mask(hash_: int, num_cols: int, mat_elem_bit_len: int) -> np.ndarray:
     """Per-column additive mask `mix(hash, col) & (2^b - 1)` used when a row
     is encoded into / recovered from the filter matrix
     (reference: matrix.rs:736-739 and client.rs:239-240)."""
+    mask = (1 << mat_elem_bit_len) - 1
+    if _native is not None:
+        return _native.mix_row_mask(int(hash_), num_cols, mask & 0xFFFFFFFF)
     cols = np.arange(num_cols, dtype=np.uint64)
     mixed = murmur64(np.uint64(hash_) + cols)
-    return (mixed & np.uint64((1 << mat_elem_bit_len) - 1)).astype(np.uint32)
+    return (mixed & np.uint64(mask)).astype(np.uint32)

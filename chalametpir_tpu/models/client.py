@@ -26,6 +26,11 @@ from ..errors import (
 )
 from ..params import LWE_DIMENSION, SEED_BYTE_LEN, query_indicator
 
+try:
+    from ..native import engine as _native
+except Exception:  # pragma: no cover - native build unavailable
+    _native = None
+
 
 @dataclass
 class Query:
@@ -71,8 +76,8 @@ class Client:
         secret_s = self._sample_ternary(LWE_DIMENSION)
         error_e = self._sample_ternary_u32(m)
 
-        query_b = (self._ternary_matvec(secret_s, self._pub_mat_a) + error_e.astype(np.uint64)).astype(np.uint32)
-        vec_c = self._ternary_matvec(secret_s, self._hint_mat_m).astype(np.uint32)
+        query_b = self._ternary_matvec(secret_s, self._pub_mat_a) + error_e
+        vec_c = self._ternary_matvec(secret_s, self._hint_mat_m)
 
         digest = hashing.hash_of_key(key)
         fused = int(hashing.mix256(digest, self._filter.seed))
@@ -158,8 +163,9 @@ class Client:
     @staticmethod
     def _ternary_matvec(t_codes: np.ndarray, mat: np.ndarray) -> np.ndarray:
         """(s . mat) mod 2^32 for ternary s — plus/minus row sums, no
-        multiplies. numpy's uint64 accumulate wraps mod 2^64, whose low 32
-        bits are exactly the mod-2^32 result."""
+        multiplies."""
+        if _native is not None:
+            return _native.ternary_matvec(t_codes, mat)
         pos = mat[t_codes == 1].sum(axis=0, dtype=np.uint64)
         neg = mat[t_codes == 2].sum(axis=0, dtype=np.uint64)
-        return pos - neg  # uint64 wrap; caller truncates to uint32
+        return (pos - neg).astype(np.uint32)  # uint64 wrap == mod 2^32

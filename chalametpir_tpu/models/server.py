@@ -92,16 +92,23 @@ class Server:
         d1 = jax.device_put(p1_host)
 
         # Stream A row blocks host->device, folding each into M = A . D.
-        # Block size targets ~16 MB transfers (the sweet spot for the
-        # host link) unless overridden.
+        # Block size targets ~16 MB transfers (the sweet spot for the host
+        # link). Every block is padded to the same shape so the digit
+        # matmul compiles exactly once.
         if hint_block_rows is None:
             hint_block_rows = max(1, (16 << 20) // max(1, 4 * m))
+        hint_block_rows = min(hint_block_rows, LWE_DIMENSION)
         hint_rows = []
-        for _r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
-            acc = jnp.zeros((block.shape[0], cols), jnp.int32)
+        for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
+            r = block.shape[0]
+            if r < hint_block_rows:
+                block = np.pad(block, ((0, hint_block_rows - r), (0, 0)))
+            acc = jnp.zeros((hint_block_rows, cols), jnp.int32)
             acc = matmul_u32.digit_matmul_accumulate(acc, jax.device_put(block), d0, d1)
-            hint_rows.append(acc)
-        hint = np.concatenate([np.asarray(h) for h in hint_rows], axis=0).astype(np.uint32)
+            hint_rows.append((r, acc))
+        hint = np.concatenate(
+            [np.asarray(h)[:r] for r, h in hint_rows], axis=0
+        ).astype(np.uint32)
         return cls("jax", (d0, d1), m, cols, bit_len), hint
 
     # -- online --------------------------------------------------------------

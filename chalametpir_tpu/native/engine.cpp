@@ -1,0 +1,330 @@
+// Native host engine for chalametpir_tpu.
+//
+// Accelerates the sequential / pointer-chasing host paths that numpy cannot
+// vectorise (and that the reference implements in Rust):
+//   * TurboSHAKE128 streaming XOF        (reference: turboshake crate;
+//     used by matrix.rs:541-558 seed->A expansion)
+//   * batched key digests                (binary_fuse_filter.rs:568-584)
+//   * binary fuse filter peel            (binary_fuse_filter.rs:40-456)
+//   * KV row bit-pack encode             (serialization.rs:22-116)
+//   * reverse-peel-order row assembly    (matrix.rs:707-746, 839-885)
+//   * ternary {0,+1,-1} vector-matrix    (client query path, matrix.rs:1040-1059)
+//
+// Exposed as a plain C ABI consumed via ctypes (chalametpir_tpu/native/engine.py).
+// Build: make -C chalametpir_tpu/native
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// Keccak-p[1600,12] and the TurboSHAKE128 sponge (rate 168, domain 0x1F).
+// ---------------------------------------------------------------------------
+
+static const uint64_t RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+static inline uint64_t rotl64(uint64_t x, int s) {
+  return (x << s) | (x >> (64 - s));
+}
+
+// One permutation: `nr` final rounds of Keccak-f[1600].
+static void keccak_p(uint64_t a[25], int nr) {
+  uint64_t c0, c1, c2, c3, c4, d0, d1, d2, d3, d4;
+  for (int r = 24 - nr; r < 24; ++r) {
+    // theta
+    c0 = a[0] ^ a[5] ^ a[10] ^ a[15] ^ a[20];
+    c1 = a[1] ^ a[6] ^ a[11] ^ a[16] ^ a[21];
+    c2 = a[2] ^ a[7] ^ a[12] ^ a[17] ^ a[22];
+    c3 = a[3] ^ a[8] ^ a[13] ^ a[18] ^ a[23];
+    c4 = a[4] ^ a[9] ^ a[14] ^ a[19] ^ a[24];
+    d0 = c4 ^ rotl64(c1, 1);
+    d1 = c0 ^ rotl64(c2, 1);
+    d2 = c1 ^ rotl64(c3, 1);
+    d3 = c2 ^ rotl64(c4, 1);
+    d4 = c3 ^ rotl64(c0, 1);
+    a[0] ^= d0; a[5] ^= d0; a[10] ^= d0; a[15] ^= d0; a[20] ^= d0;
+    a[1] ^= d1; a[6] ^= d1; a[11] ^= d1; a[16] ^= d1; a[21] ^= d1;
+    a[2] ^= d2; a[7] ^= d2; a[12] ^= d2; a[17] ^= d2; a[22] ^= d2;
+    a[3] ^= d3; a[8] ^= d3; a[13] ^= d3; a[18] ^= d3; a[23] ^= d3;
+    a[4] ^= d4; a[9] ^= d4; a[14] ^= d4; a[19] ^= d4; a[24] ^= d4;
+    // rho + pi
+    uint64_t b[25];
+    b[0] = a[0];
+    b[10] = rotl64(a[1], 1);
+    b[20] = rotl64(a[2], 62);
+    b[5] = rotl64(a[3], 28);
+    b[15] = rotl64(a[4], 27);
+    b[16] = rotl64(a[5], 36);
+    b[1] = rotl64(a[6], 44);
+    b[11] = rotl64(a[7], 6);
+    b[21] = rotl64(a[8], 55);
+    b[6] = rotl64(a[9], 20);
+    b[7] = rotl64(a[10], 3);
+    b[17] = rotl64(a[11], 10);
+    b[2] = rotl64(a[12], 43);
+    b[12] = rotl64(a[13], 25);
+    b[22] = rotl64(a[14], 39);
+    b[23] = rotl64(a[15], 41);
+    b[8] = rotl64(a[16], 45);
+    b[18] = rotl64(a[17], 15);
+    b[3] = rotl64(a[18], 21);
+    b[13] = rotl64(a[19], 8);
+    b[14] = rotl64(a[20], 18);
+    b[24] = rotl64(a[21], 2);
+    b[9] = rotl64(a[22], 61);
+    b[19] = rotl64(a[23], 56);
+    b[4] = rotl64(a[24], 14);
+    // chi
+    for (int y = 0; y < 25; y += 5) {
+      uint64_t t0 = b[y], t1 = b[y + 1], t2 = b[y + 2], t3 = b[y + 3], t4 = b[y + 4];
+      a[y] = t0 ^ (~t1 & t2);
+      a[y + 1] = t1 ^ (~t2 & t3);
+      a[y + 2] = t2 ^ (~t3 & t4);
+      a[y + 3] = t3 ^ (~t4 & t0);
+      a[y + 4] = t4 ^ (~t0 & t1);
+    }
+    // iota
+    a[0] ^= RC[r];
+  }
+}
+
+static const int RATE = 168;
+static const uint8_t DOMAIN = 0x1F;
+
+struct Xof {
+  uint64_t st[25];
+  int off;  // squeeze offset within the current rate block
+};
+
+// Absorb a short message (<= arbitrary length) and finalize with D=0x1F.
+static void xof_init(Xof* x, const uint8_t* msg, int64_t len) {
+  std::memset(x->st, 0, sizeof(x->st));
+  uint8_t* sb = reinterpret_cast<uint8_t*>(x->st);
+  int64_t pos = 0;
+  while (len - pos >= RATE) {
+    for (int i = 0; i < RATE; ++i) sb[i] ^= msg[pos + i];
+    keccak_p(x->st, 12);
+    pos += RATE;
+  }
+  int rem = static_cast<int>(len - pos);
+  for (int i = 0; i < rem; ++i) sb[i] ^= msg[pos + i];
+  sb[rem] ^= DOMAIN;
+  sb[RATE - 1] ^= 0x80;
+  keccak_p(x->st, 12);
+  x->off = 0;
+}
+
+static void xof_squeeze(Xof* x, uint8_t* out, int64_t n) {
+  const uint8_t* sb = reinterpret_cast<const uint8_t*>(x->st);
+  while (n > 0) {
+    if (x->off == RATE) {
+      keccak_p(x->st, 12);
+      x->off = 0;
+    }
+    int64_t take = RATE - x->off;
+    if (take > n) take = n;
+    std::memcpy(out, sb + x->off, static_cast<size_t>(take));
+    out += take;
+    x->off += static_cast<int>(take);
+    n -= take;
+  }
+}
+
+extern "C" {
+
+void* ts128_xof_new(const uint8_t* seed, int64_t seed_len) {
+  Xof* x = new Xof();
+  xof_init(x, seed, seed_len);
+  return x;
+}
+
+void ts128_xof_squeeze(void* handle, uint8_t* out, int64_t n) {
+  xof_squeeze(static_cast<Xof*>(handle), out, n);
+}
+
+void ts128_xof_free(void* handle) { delete static_cast<Xof*>(handle); }
+
+// Batched 32-byte digests of n variable-length keys (concatenated bytes +
+// offsets array of n+1 entries).
+void ts128_hash_keys(const uint8_t* data, const int64_t* offsets, int64_t n,
+                     uint8_t* out32) {
+  for (int64_t i = 0; i < n; ++i) {
+    Xof x;
+    xof_init(&x, data + offsets[i], offsets[i + 1] - offsets[i]);
+    xof_squeeze(&x, out32 + 32 * i, 32);
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Filter hash family.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t murmur64(uint64_t h) {
+  h ^= h >> 33;
+  h *= 0xFF51AFD7ED558CCDULL;
+  h ^= h >> 33;
+  h *= 0xC4CEB9FE1A85EC53ULL;
+  h ^= h >> 33;
+  return h;
+}
+
+static inline void hash_rows(uint64_t h, uint32_t arity, uint32_t seg_len,
+                             uint32_t seg_cnt_len, uint32_t out[4]) {
+  uint32_t mask = seg_len - 1;
+  uint64_t hi = static_cast<uint64_t>(
+      (static_cast<__uint128_t>(h) * seg_cnt_len) >> 64);
+  uint32_t h0 = static_cast<uint32_t>(hi);
+  if (arity == 3) {
+    out[0] = h0;
+    out[1] = (h0 + seg_len) ^ (static_cast<uint32_t>(h >> 18) & mask);
+    out[2] = (h0 + 2 * seg_len) ^ (static_cast<uint32_t>(h) & mask);
+  } else {
+    out[0] = h0;
+    out[1] = (h0 + seg_len) ^ (static_cast<uint32_t>(h) & mask);
+    out[2] = (h0 + 2 * seg_len) ^ (static_cast<uint32_t>(h >> 16) & mask);
+    out[3] = (h0 + 3 * seg_len) ^ (static_cast<uint32_t>(h >> 32) & mask);
+  }
+}
+
+extern "C" {
+
+// Count degrees and peel. hashes: n fused (deduplicated) key hashes.
+// Outputs reverse_order (peel-order hashes) and reverse_h (slot codes).
+// Returns 1 on success, 0 when peeling stalls (caller retries with a new
+// seed) — mirrors binary_fuse_filter.rs:102-215.
+int32_t bff_peel(const uint64_t* hashes, int64_t n, int64_t num_fp,
+                 uint32_t arity, uint32_t seg_len, uint32_t seg_cnt_len,
+                 uint64_t* reverse_order, uint8_t* reverse_h) {
+  std::vector<int32_t> count(num_fp, 0);
+  std::vector<uint64_t> hxor(num_fp, 0);
+  std::vector<uint8_t> pxor(num_fp, 0);
+  const int32_t max_degree = (arity == 4) ? 31 : 63;
+
+  uint32_t rows[4];
+  for (int64_t i = 0; i < n; ++i) {
+    hash_rows(hashes[i], arity, seg_len, seg_cnt_len, rows);
+    for (uint32_t p = 0; p < arity; ++p) {
+      uint32_t r = rows[p];
+      count[r] += 1;
+      hxor[r] ^= hashes[i];
+      pxor[r] ^= static_cast<uint8_t>(p);
+      if (count[r] > max_degree) return 0;
+    }
+  }
+
+  std::vector<uint32_t> queue;
+  queue.reserve(static_cast<size_t>(n));
+  for (int64_t s = 0; s < num_fp; ++s)
+    if (count[s] == 1) queue.push_back(static_cast<uint32_t>(s));
+
+  int64_t top = 0;
+  while (!queue.empty()) {
+    uint32_t slot = queue.back();
+    queue.pop_back();
+    if (count[slot] != 1) continue;
+    uint64_t h = hxor[slot];
+    uint8_t code = pxor[slot];
+    reverse_order[top] = h;
+    reverse_h[top] = code;
+    ++top;
+    hash_rows(h, arity, seg_len, seg_cnt_len, rows);
+    for (uint32_t p = 0; p < arity; ++p) {
+      if (p == code) continue;
+      uint32_t r = rows[p];
+      count[r] -= 1;
+      hxor[r] ^= h;
+      pxor[r] ^= static_cast<uint8_t>(p);
+      if (count[r] == 1) queue.push_back(r);
+    }
+  }
+  return top == n ? 1 : 0;
+}
+
+// Bit-pack (digest || value || 0x81) streams into b-bit row elements
+// (reference: serialization.rs:22-116). digests: (n,32); values
+// concatenated with offsets (n+1).
+void encode_rows(const uint8_t* digests, const uint8_t* values,
+                 const int64_t* offsets, int64_t n, int32_t b, int64_t cols,
+                 uint32_t* out) {
+  const uint32_t mask = (1u << b) - 1;
+  std::vector<uint8_t> stream;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t vlen = offsets[i + 1] - offsets[i];
+    const int64_t stream_len = 32 + vlen + 1;
+    stream.assign(static_cast<size_t>((cols * b + 7) / 8 + 8), 0);
+    std::memcpy(stream.data(), digests + 32 * i, 32);
+    std::memcpy(stream.data() + 32, values + offsets[i], static_cast<size_t>(vlen));
+    stream[static_cast<size_t>(stream_len - 1)] = 0x81;
+    uint32_t* row = out + i * cols;
+    for (int64_t e = 0; e < cols; ++e) {
+      const int64_t bit = e * b;
+      uint64_t w;
+      std::memcpy(&w, stream.data() + (bit >> 3), 8);
+      row[e] = static_cast<uint32_t>(w >> (bit & 7)) & mask;
+    }
+  }
+}
+
+// Reverse-peel-order row assembly into the filter matrix D
+// (reference: matrix.rs:707-746 / 839-885):
+//   D[rows[code]] = (enc - sum_{p != code} D[rows[p]] - mix(hash, col)) mod 2^b
+void assemble_rows(uint32_t* mat, const uint32_t* enc_rows,
+                   const uint64_t* reverse_order, const uint8_t* reverse_h,
+                   int64_t n, int64_t cols, uint32_t arity, uint32_t seg_len,
+                   uint32_t seg_cnt_len, int32_t b) {
+  const uint32_t mask = (1u << b) - 1;
+  uint32_t rows[4];
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const uint64_t h = reverse_order[i];
+    const uint8_t code = reverse_h[i];
+    hash_rows(h, arity, seg_len, seg_cnt_len, rows);
+    const uint32_t* enc = enc_rows + i * cols;
+    uint32_t* dst = mat + static_cast<int64_t>(rows[code]) * cols;
+    const uint32_t* oth1 = mat + static_cast<int64_t>(rows[(code + 1) % arity]) * cols;
+    const uint32_t* oth2 = mat + static_cast<int64_t>(rows[(code + 2) % arity]) * cols;
+    const uint32_t* oth3 =
+        arity == 4 ? mat + static_cast<int64_t>(rows[(code + 3) % arity]) * cols : nullptr;
+    for (int64_t c = 0; c < cols; ++c) {
+      uint32_t acc = enc[c] - oth1[c] - oth2[c];
+      if (oth3) acc -= oth3[c];
+      acc -= static_cast<uint32_t>(murmur64(h + static_cast<uint64_t>(c)));
+      dst[c] = acc & mask;
+    }
+  }
+}
+
+// Ternary vector x matrix mod 2^32: codes[k] in {0:zero, 1:+1, 2:-1}
+// (client query path; replaces the reference's rayon matmul for s.A / s.M).
+void ternary_matvec(const int8_t* codes, const uint32_t* mat, int64_t k,
+                    int64_t m, uint32_t* out) {
+  std::memset(out, 0, static_cast<size_t>(m) * 4);
+  for (int64_t r = 0; r < k; ++r) {
+    const int8_t c = codes[r];
+    if (c == 0) continue;
+    const uint32_t* row = mat + r * m;
+    if (c == 1) {
+      for (int64_t j = 0; j < m; ++j) out[j] += row[j];
+    } else {
+      for (int64_t j = 0; j < m; ++j) out[j] -= row[j];
+    }
+  }
+}
+
+// murmur64(h + col) & mask for a whole row (response unmask path).
+void mix_row_mask(uint64_t h, int64_t cols, uint32_t mask, uint32_t* out) {
+  for (int64_t c = 0; c < cols; ++c)
+    out[c] = static_cast<uint32_t>(murmur64(h + static_cast<uint64_t>(c))) & mask;
+}
+
+}  // extern "C"

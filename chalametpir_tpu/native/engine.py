@@ -1,0 +1,164 @@
+"""ctypes bindings for the native engine (see engine.cpp).
+
+Importing this module builds `libchalametpir_native.so` with the local
+toolchain if it is missing; on any failure the import raises and callers
+fall back to the pure numpy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libchalametpir_native.so")
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-s", "-C", _DIR, "libchalametpir_native.so"],
+        check=True,
+        capture_output=True,
+    )
+
+
+if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+    os.path.join(_DIR, "engine.cpp")
+):
+    _build()
+
+_lib = ctypes.CDLL(_SO)
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i8p = ctypes.POINTER(ctypes.c_int8)
+
+_lib.ts128_xof_new.restype = ctypes.c_void_p
+_lib.ts128_xof_new.argtypes = [_u8p, ctypes.c_int64]
+_lib.ts128_xof_squeeze.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
+_lib.ts128_xof_free.argtypes = [ctypes.c_void_p]
+_lib.ts128_hash_keys.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p]
+_lib.bff_peel.restype = ctypes.c_int32
+_lib.bff_peel.argtypes = [
+    _u64p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, _u64p, _u8p,
+]
+_lib.encode_rows.argtypes = [
+    _u8p, _u8p, _i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, _u32p,
+]
+_lib.assemble_rows.argtypes = [
+    _u32p, _u32p, _u64p, _u8p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int32,
+]
+_lib.ternary_matvec.argtypes = [_i8p, _u32p, ctypes.c_int64, ctypes.c_int64, _u32p]
+_lib.mix_row_mask.argtypes = [ctypes.c_uint64, ctypes.c_int64, ctypes.c_uint32, _u32p]
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctype)
+
+
+class XofStream:
+    """Streaming TurboSHAKE128 squeeze (absorbs once at construction)."""
+
+    def __init__(self, seed: bytes) -> None:
+        buf = np.frombuffer(seed, np.uint8)
+        self._handle = _lib.ts128_xof_new(_ptr(buf, _u8p), len(seed))
+
+    def squeeze(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.uint8)
+        _lib.ts128_xof_squeeze(self._handle, _ptr(out, _u8p), n)
+        return out
+
+    def squeeze_u32(self, count: int) -> np.ndarray:
+        return self.squeeze(count * 4).view("<u4")
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        # _lib may already be torn down at interpreter shutdown
+        if handle and _lib is not None and getattr(_lib, "ts128_xof_free", None):
+            _lib.ts128_xof_free(handle)
+            self._handle = None
+
+
+def turboshake128(data: bytes, out_len: int) -> bytes:
+    return XofStream(data).squeeze(out_len).tobytes()
+
+
+def hash_keys(keys: list[bytes]) -> np.ndarray:
+    """(n, 4) uint64 digest words, like core.hashing.hash_of_keys_batch."""
+    n = len(keys)
+    offsets = np.zeros(n + 1, np.int64)
+    for i, k in enumerate(keys):
+        offsets[i + 1] = offsets[i] + len(k)
+    data = np.frombuffer(b"".join(keys), np.uint8) if offsets[-1] else np.zeros(1, np.uint8)
+    out = np.empty((n, 32), np.uint8)
+    _lib.ts128_hash_keys(_ptr(data, _u8p), _ptr(offsets, _i64p), n, _ptr(out, _u8p))
+    return out.view("<u8").reshape(n, 4)
+
+
+def bff_peel(hashes: np.ndarray, num_fp: int, arity: int, seg_len: int, seg_cnt_len: int):
+    """Returns (reverse_order, reverse_h) or None when peeling stalls."""
+    hashes = np.ascontiguousarray(hashes, np.uint64)
+    n = hashes.shape[0]
+    reverse_order = np.empty(n, np.uint64)
+    reverse_h = np.empty(n, np.uint8)
+    ok = _lib.bff_peel(
+        _ptr(hashes, _u64p), n, num_fp, arity, seg_len, seg_cnt_len,
+        _ptr(reverse_order, _u64p), _ptr(reverse_h, _u8p),
+    )
+    if not ok:
+        return None
+    return reverse_order, reverse_h
+
+
+def encode_rows(digests: np.ndarray, values: list[bytes], b: int, cols: int) -> np.ndarray:
+    digests = np.ascontiguousarray(digests, np.uint8)
+    n = digests.shape[0]
+    offsets = np.zeros(n + 1, np.int64)
+    for i, v in enumerate(values):
+        offsets[i + 1] = offsets[i] + len(v)
+    data = np.frombuffer(b"".join(values), np.uint8) if offsets[-1] else np.zeros(1, np.uint8)
+    out = np.empty((n, cols), np.uint32)
+    _lib.encode_rows(
+        _ptr(digests, _u8p), _ptr(data, _u8p), _ptr(offsets, _i64p), n, b, cols, _ptr(out, _u32p)
+    )
+    return out
+
+
+def assemble_rows(mat, enc_rows, reverse_order, reverse_h, hrows, b, *, filt=None,
+                  arity=None, seg_len=None, seg_cnt_len=None):
+    """In-place reverse-peel-order assembly into `mat` (num_fp, cols)."""
+    del hrows  # recomputed natively from the hashes
+    n, cols = enc_rows.shape
+    mat_c = np.ascontiguousarray(mat, np.uint32)
+    enc_c = np.ascontiguousarray(enc_rows, np.uint32)
+    ro = np.ascontiguousarray(reverse_order, np.uint64)
+    rh = np.ascontiguousarray(reverse_h, np.uint8)
+    _lib.assemble_rows(
+        _ptr(mat_c, _u32p), _ptr(enc_c, _u32p), _ptr(ro, _u64p), _ptr(rh, _u8p),
+        n, cols, arity, seg_len, seg_cnt_len, b,
+    )
+    if mat_c is not mat:
+        mat[...] = mat_c
+    return mat
+
+
+def ternary_matvec(codes: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    codes = np.ascontiguousarray(codes, np.int8)
+    mat = np.ascontiguousarray(mat, np.uint32)
+    k, m = mat.shape
+    out = np.empty(m, np.uint32)
+    _lib.ternary_matvec(_ptr(codes, _i8p), _ptr(mat, _u32p), k, m, _ptr(out, _u32p))
+    return out
+
+
+def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:
+    out = np.empty(cols, np.uint32)
+    _lib.mix_row_mask(ctypes.c_uint64(h), cols, ctypes.c_uint32(mask), _ptr(out, _u32p))
+    return out
