@@ -1,0 +1,194 @@
+"""Benchmark harness: reproduces the reference's divan config on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Headline metric: server_respond effective DB-scan bandwidth at the
+reference's headline config (2^20 entries x 32 B keys x 1 kB values,
+arity-3 filter), using the reference's own convention — bytes of *its*
+bit-pack-compressed DB divided by respond latency (reference
+README.md:60-62; baseline 102.51 GB/s on m8g.8xlarge).
+
+Env knobs:
+  PIR_BENCH_LOG_N      log2 of DB entries (default 20)
+  PIR_BENCH_ARITY      3 or 4 (default 3)
+  PIR_BENCH_VALUE_LEN  value bytes (default 1024)
+  PIR_BENCH_BATCH      batched-respond size (default 64)
+  PIR_BENCH_ITERS      respond timing iterations (default 20)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+LOG_N = int(os.environ.get("PIR_BENCH_LOG_N", "20"))
+ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
+VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
+BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
+ITERS = int(os.environ.get("PIR_BENCH_ITERS", "20"))
+
+BASELINE_RESPOND_GBPS = 102.51  # m8g.8xlarge, README.md:60-61
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, bytes]:
+    keys_buf = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+    vals_buf = rng.integers(0, 256, size=n * value_len, dtype=np.uint8).tobytes()
+    db = {
+        keys_buf[i].tobytes(): vals_buf[i * value_len : (i + 1) * value_len]
+        for i in range(n)
+    }
+    while len(db) < n:  # vanishingly unlikely 32-byte key collisions
+        k = rng.integers(0, 256, size=32, dtype=np.uint8).tobytes()
+        db[k] = vals_buf[:value_len]
+    return db
+
+
+def main() -> None:
+    import jax
+
+    from chalametpir_tpu import Client, Server
+    from chalametpir_tpu.core import matrix_io
+    from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+    from chalametpir_tpu.ops import respond as respond_ops
+
+    n = 1 << LOG_N
+    rng = np.random.default_rng(0xBEEF)
+    log(f"[bench] backend={jax.default_backend()} n=2^{LOG_N} arity={ARITY} value={VALUE_LEN}B")
+
+    t0 = time.perf_counter()
+    db = build_db(n, VALUE_LEN, rng)
+    log(f"[bench] db built in {time.perf_counter()-t0:.1f}s")
+
+    seed = rng.bytes(32)
+    t0 = time.perf_counter()
+    server, hint_bytes, filter_param_bytes = Server.setup(seed, db, arity=ARITY, rng=rng)
+    t_setup = time.perf_counter() - t0
+    log(f"[bench] server_setup {t_setup:.2f}s (b={server.mat_elem_bit_len})")
+
+    t0 = time.perf_counter()
+    client = Client.setup(seed, hint_bytes, filter_param_bytes)
+    t_client_setup = time.perf_counter() - t0
+    log(f"[bench] client_setup {t_client_setup:.2f}s")
+
+    keys = list(db.keys())[:8]  # enough for a query-latency median; the
+    # batched respond timing tiles these (int-dot time is value-independent)
+    t0 = time.perf_counter()
+    queries_bytes = []
+    for key in keys:
+        while True:
+            try:
+                queries_bytes.append(client.query(key))
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                pass
+    t_query = (time.perf_counter() - t0) / len(keys)
+    log(f"[bench] client_query {t_query*1e3:.1f} ms/query")
+
+    queries = np.stack([matrix_io.matrix_from_bytes(qb)[0] for qb in queries_bytes])
+
+    # --- respond: single query, device-resident (the reference times the
+    # in-process matvec; host<->device copies here are tunnel artifacts).
+    #
+    # Timing methodology: this environment's device queue acks before
+    # completion and any d2h readback adds a large constant dispatch
+    # latency, so per-call wall timing lies in both directions. Instead we
+    # run k chained respond scans inside one jit (each query XOR-depends
+    # on the previous response, so XLA can neither hoist nor distribute
+    # the dot) and take the slope between two k values — constant
+    # overheads cancel exactly.
+    if server._backend == "jax":
+        import jax.numpy as jnp
+
+        if server._layout == "packed":
+            from chalametpir_tpu.ops.respond_pallas import respond_batch_packed as _respond
+
+            db_planes = (server._planes,)
+        else:
+            d0, d1 = server._planes
+            db_planes = (d0, d1)
+            _respond = respond_ops.respond_batch
+
+        # k is a runtime value (while-loop trip count): ONE compile per
+        # batch size regardless of how many k points we measure
+        @jax.jit
+        def respond_chain(q, k, *planes):
+            def body(i, q):
+                out = _respond(q, *planes)
+                return q ^ jnp.max(out)
+            return jnp.max(jax.lax.fori_loop(0, k, body, q))
+
+        def scan_seconds(nq, k_lo=4, k_hi=24, reps=3):
+            q_dev = jax.device_put(np.resize(queries, (nq, queries.shape[1])))
+            float(np.asarray(respond_chain(q_dev, 1, *db_planes)))  # compile+warm
+            log(f"[bench] respond chain (Q={nq}) compiled")
+            out = {}
+            for k in (k_lo, k_hi):
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    float(np.asarray(respond_chain(q_dev, k, *db_planes)))
+                    best = min(best, time.perf_counter() - t0)
+                out[k] = best
+            return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
+
+        t_respond = scan_seconds(1)
+        log(f"[bench] single-query scan {t_respond*1e3:.3f} ms")
+        t_respond_batch_per_q = scan_seconds(BATCH) / BATCH
+    else:
+        times = []
+        for _ in range(max(3, ITERS // 4)):
+            t0 = time.perf_counter()
+            server.respond_batch(queries[:1])
+            times.append(time.perf_counter() - t0)
+        t_respond = float(np.median(times))
+        t_respond_batch_per_q = t_respond
+
+    # end-to-end serialized path (includes tunnel transfers)
+    t0 = time.perf_counter()
+    response_bytes = server.respond(queries_bytes[0])
+    t_respond_e2e = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    value = client.process_response(keys[0], response_bytes)
+    t_process = time.perf_counter() - t0
+    assert value == db[keys[0]], "retrieval mismatch!"
+    log(
+        f"[bench] respond {t_respond*1e3:.3f} ms (batch/query {t_respond_batch_per_q*1e3:.3f} ms, "
+        f"e2e {t_respond_e2e*1e3:.1f} ms), process_response {t_process*1e6:.1f} us"
+    )
+
+    # reference-equivalent compressed-DB bytes (README.md:60-62 convention)
+    m = server.num_query_cols
+    cols = server.num_response_cols
+    cf = matrix_io.compression_factor(server.mat_elem_bit_len)
+    ref_db_bytes = m * (-(-cols // cf)) * 4
+    scan_gbps = ref_db_bytes / t_respond / 1e9
+
+    result = {
+        "metric": "server_respond_db_scan_GBps",
+        "value": round(scan_gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(scan_gbps / BASELINE_RESPOND_GBPS, 3),
+        "config": f"2^{LOG_N}x{VALUE_LEN}B arity{ARITY} b={server.mat_elem_bit_len}",
+        "server_setup_s": round(t_setup, 2),
+        "client_setup_s": round(t_client_setup, 2),
+        "client_query_ms": round(t_query * 1e3, 2),
+        "server_respond_ms": round(t_respond * 1e3, 3),
+        "server_respond_batch_per_query_ms": round(t_respond_batch_per_q * 1e3, 4),
+        "server_respond_e2e_ms": round(t_respond_e2e * 1e3, 2),
+        "client_process_response_us": round(t_process * 1e6, 1),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,8 @@ def mix(key: np.ndarray | int, seed: np.ndarray | int):
 def hash_of_key(key: bytes) -> np.ndarray:
     """TurboSHAKE128 32-byte digest of `key` as 4 LE uint64 words
     (reference: binary_fuse_filter.rs:568-584)."""
+    if _native is not None:
+        return _native.hash_keys([bytes(key)])[0]
     digest = turboshake128(key, HASHED_KEY_BYTE_LEN)
     return np.frombuffer(digest, dtype="<u8").copy()
 

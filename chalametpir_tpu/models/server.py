@@ -36,9 +36,20 @@ from ..params import (
 class Server:
     """Stateful PIR server holding the device-resident encoded database."""
 
-    def __init__(self, backend: str, planes, num_query_cols: int, num_response_cols: int, mat_elem_bit_len: int):
+    def __init__(
+        self,
+        backend: str,
+        planes,
+        num_query_cols: int,
+        num_response_cols: int,
+        mat_elem_bit_len: int,
+        layout: str = "digit2",
+    ):
         self._backend = backend
-        self._planes = planes  # jax: (d0, d1) int8 device arrays; numpy: D uint32
+        # jax/digit2: (d0, d1) int8 device arrays; jax/packed: a PallasDB;
+        # numpy: the raw uint32 D matrix
+        self._planes = planes
+        self._layout = layout
         self._num_query_cols = num_query_cols
         self._num_response_cols = num_response_cols
         self.mat_elem_bit_len = mat_elem_bit_len
@@ -52,6 +63,7 @@ class Server:
         db: dict[bytes, bytes],
         arity: int = 3,
         backend: str = "auto",
+        layout: str = "auto",
         hint_block_rows: int | None = None,
         rng: np.random.Generator | None = None,
     ) -> tuple["Server", bytes, bytes]:
@@ -75,29 +87,50 @@ class Server:
             hint = (mat_a.astype(np.uint64) @ mat_d.astype(np.uint64)).astype(np.uint32)
             server = cls("numpy", mat_d, m, cols, bit_len)
         else:
-            server, hint = cls._setup_jax(seed, mat_d, bit_len, hint_block_rows)
+            server, hint = cls._setup_jax(seed, mat_d, bit_len, layout, hint_block_rows)
 
         return server, matrix_io.matrix_to_bytes(hint), filt.to_bytes()
 
     @classmethod
-    def _setup_jax(cls, seed, mat_d, bit_len, hint_block_rows):
+    def _setup_jax(cls, seed, mat_d, bit_len, layout, hint_block_rows):
         import jax
         import jax.numpy as jnp
 
-        from ..ops import digits, matmul_u32
+        from ..ops import digits, matmul_u32, respond_pallas
 
         m, cols = mat_d.shape
-        p0_host, p1_host = digits.db_digit_planes_np(mat_d)
-        d0 = jax.device_put(p0_host)
-        d1 = jax.device_put(p1_host)
+        if layout == "auto":
+            # the packed Pallas layout reads ~1-1.5 B/element instead of 2;
+            # use it wherever the high byte packs below a full byte
+            layout = "packed" if bit_len <= 12 else "digit2"
 
         # Stream A row blocks host->device, folding each into M = A . D.
         # Block size targets ~16 MB transfers (the sweet spot for the host
-        # link). Every block is padded to the same shape so the digit
+        # link). Every block is padded to the same shape so the device
         # matmul compiles exactly once.
         if hint_block_rows is None:
             hint_block_rows = max(1, (16 << 20) // max(1, 4 * m))
         hint_block_rows = min(hint_block_rows, LWE_DIMENSION)
+
+        if layout == "packed":
+            db = respond_pallas.build_pallas_db(mat_d, bit_len)
+            # the hint matmul IS a batched respond: each streamed A row
+            # block is a batch of hint_block_rows "queries"
+            hint_rows = []
+            for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
+                r = block.shape[0]
+                if r < hint_block_rows:
+                    block = np.pad(block, ((0, hint_block_rows - r), (0, 0)))
+                out = respond_pallas.respond_batch_packed(jax.device_put(block), db)
+                hint_rows.append((r, out))
+            hint = np.concatenate(
+                [np.asarray(h)[:r] for r, h in hint_rows], axis=0
+            ).astype(np.uint32)
+            return cls("jax", db, m, cols, bit_len, "packed"), hint
+
+        p0_host, p1_host = digits.db_digit_planes_np(mat_d)
+        d0 = jax.device_put(p0_host)
+        d1 = jax.device_put(p1_host)
         hint_rows = []
         for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
             r = block.shape[0]
@@ -109,7 +142,7 @@ class Server:
         hint = np.concatenate(
             [np.asarray(h)[:r] for r, h in hint_rows], axis=0
         ).astype(np.uint32)
-        return cls("jax", (d0, d1), m, cols, bit_len), hint
+        return cls("jax", (d0, d1), m, cols, bit_len, "digit2"), hint
 
     # -- online --------------------------------------------------------------
 
@@ -133,10 +166,15 @@ class Server:
             ).astype(np.uint32)
         import jax
 
-        from ..ops import respond as respond_ops
+        if self._layout == "packed":
+            from ..ops import respond_pallas
 
-        d0, d1 = self._planes
-        out = respond_ops.respond_batch(jax.device_put(queries), d0, d1)
+            out = respond_pallas.respond_batch_packed(jax.device_put(queries), self._planes)
+        else:
+            from ..ops import respond as respond_ops
+
+            d0, d1 = self._planes
+            out = respond_ops.respond_batch(jax.device_put(queries), d0, d1)
         return np.asarray(out).astype(np.uint32)
 
     @property

@@ -1,0 +1,66 @@
+"""asyncio TCP PIR client (reference: chalametpir_client/examples/client.rs).
+
+Run: python -m chalametpir_tpu.net.client --key banana [--host ... --port ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import sys
+
+from ..errors import ArithmeticOverflowAddingQueryIndicator
+from ..models.client import Client
+from ..params import SEED_BYTE_LEN
+from .framing import read_frame, write_frame
+
+
+async def fetch(host: str, port: int, keys: list[bytes]) -> dict[bytes, bytes | None]:
+    reader, writer = await asyncio.open_connection(host, port)
+    print(f"Connected to PIR server @ {host}:{port}", file=sys.stderr)
+
+    seed = await reader.readexactly(SEED_BYTE_LEN)
+    hint = await read_frame(reader)
+    filter_params = await read_frame(reader)
+    print(f"Received setup data ({len(hint)} B hint)", file=sys.stderr)
+
+    client = Client.setup(seed, hint, filter_params)
+    results: dict[bytes, bytes | None] = {}
+    for key in keys:
+        while True:
+            try:
+                query = client.query(key)
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                continue
+        write_frame(writer, query)
+        await writer.drain()
+        response = await read_frame(reader)
+        try:
+            results[key] = client.process_response(key, response)
+        except Exception as exc:  # noqa: BLE001 - report per-key failure
+            print(f"Failed to retrieve {key!r}: {exc}", file=sys.stderr)
+            results[key] = None
+    writer.close()
+    await writer.wait_closed()
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--key", action="append", default=[], help="key to fetch (repeatable)")
+    args = ap.parse_args(argv)
+    keys = [k.encode() for k in args.key] or [b"banana"]
+
+    results = asyncio.run(fetch(args.host, args.port, keys))
+    for key, value in results.items():
+        if value is None:
+            print(f"{key.decode(errors='replace')}: <failed>")
+        else:
+            print(f"{key.decode(errors='replace')}: {value.decode(errors='replace')}")
+
+
+if __name__ == "__main__":
+    main()

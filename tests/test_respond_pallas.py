@@ -1,0 +1,38 @@
+"""Packed-layout Pallas respond kernel vs the host oracle (interpret mode
+on CPU; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+from chalametpir_tpu.ops import packed
+from chalametpir_tpu.ops.respond import respond_batch_np
+from chalametpir_tpu.ops.respond_pallas import build_pallas_db, respond_batch_packed
+
+
+@pytest.mark.parametrize("b", [4, 8, 9, 10, 12, 14])
+def test_pack_roundtrip(b, rng):
+    mat = rng.integers(0, 1 << b, size=(40, 37), dtype=np.uint32)
+    db = packed.pack_db(mat, b)
+    assert np.array_equal(packed.unpack_db(db), mat)
+    expected_bpe = {4: 1.0, 8: 1.0, 9: 1.125, 10: 1.25, 12: 1.5, 14: 2.0}[b]
+    assert db.bytes_per_element == pytest.approx(expected_bpe, rel=0.2)
+
+
+@pytest.mark.parametrize("b", [8, 9, 10, 12])
+@pytest.mark.parametrize("q", [1, 5])
+def test_respond_packed_exact(b, q, rng):
+    m, c = 700, 150  # not multiples of the tile sizes
+    queries = rng.integers(0, 1 << 32, size=(q, m), dtype=np.uint32)
+    mat = rng.integers(0, 1 << b, size=(m, c), dtype=np.uint32)
+    db = build_pallas_db(mat, b, tile_k=256)
+    got = np.asarray(respond_batch_packed(queries, db, interpret=True))
+    assert np.array_equal(got, respond_batch_np(queries, mat))
+
+
+def test_respond_packed_exact_large_batch(rng):
+    m, c, b = 512, 128, 9
+    queries = rng.integers(0, 1 << 32, size=(16, m), dtype=np.uint32)
+    mat = rng.integers(0, 1 << b, size=(m, c), dtype=np.uint32)
+    db = build_pallas_db(mat, b, tile_k=128)
+    got = np.asarray(respond_batch_packed(queries, db, interpret=True))
+    assert np.array_equal(got, respond_batch_np(queries, mat))
