@@ -31,6 +31,10 @@ ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
 VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
 BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
 ITERS = int(os.environ.get("PIR_BENCH_ITERS", "20"))
+# "ctr" = TPU-native parallel PRG (A generated on-device); "stream" =
+# reference-interop serial XOF. The headline respond metric is identical
+# in both; setup/client times are reported for the chosen mode.
+PRG_MODE = os.environ.get("PIR_BENCH_PRG", "ctr")
 
 BASELINE_RESPOND_GBPS = 102.51  # m8g.8xlarge, README.md:60-61
 
@@ -70,12 +74,12 @@ def main() -> None:
 
     seed = rng.bytes(32)
     t0 = time.perf_counter()
-    server, hint_bytes, filter_param_bytes = Server.setup(seed, db, arity=ARITY, rng=rng)
+    server, hint_bytes, filter_param_bytes = Server.setup(seed, db, arity=ARITY, prg_mode=PRG_MODE, rng=rng)
     t_setup = time.perf_counter() - t0
     log(f"[bench] server_setup {t_setup:.2f}s (b={server.mat_elem_bit_len})")
 
     t0 = time.perf_counter()
-    client = Client.setup(seed, hint_bytes, filter_param_bytes)
+    client = Client.setup(seed, hint_bytes, filter_param_bytes, prg_mode=PRG_MODE)
     t_client_setup = time.perf_counter() - t0
     log(f"[bench] client_setup {t_client_setup:.2f}s")
 
@@ -109,33 +113,32 @@ def main() -> None:
         import jax.numpy as jnp
 
         if server._layout == "packed":
-            from chalametpir_tpu.ops.respond_pallas import respond_batch_packed as _respond
+            from chalametpir_tpu.ops.respond_pallas import respond_batch_packed
 
-            db_planes = (server._planes,)
+            _respond = lambda q: respond_batch_packed(q, server._planes)  # noqa: E731
         else:
             d0, d1 = server._planes
-            db_planes = (d0, d1)
-            _respond = respond_ops.respond_batch
+            _respond = lambda q: respond_ops.respond_batch(q, d0, d1)  # noqa: E731
 
         # k is a runtime value (while-loop trip count): ONE compile per
         # batch size regardless of how many k points we measure
         @jax.jit
-        def respond_chain(q, k, *planes):
+        def respond_chain(q, k):
             def body(i, q):
-                out = _respond(q, *planes)
+                out = _respond(q)
                 return q ^ jnp.max(out)
             return jnp.max(jax.lax.fori_loop(0, k, body, q))
 
         def scan_seconds(nq, k_lo=4, k_hi=24, reps=3):
             q_dev = jax.device_put(np.resize(queries, (nq, queries.shape[1])))
-            float(np.asarray(respond_chain(q_dev, 1, *db_planes)))  # compile+warm
+            float(np.asarray(respond_chain(q_dev, 1)))  # compile+warm
             log(f"[bench] respond chain (Q={nq}) compiled")
             out = {}
             for k in (k_lo, k_hi):
                 best = float("inf")
                 for _ in range(reps):
                     t0 = time.perf_counter()
-                    float(np.asarray(respond_chain(q_dev, k, *db_planes)))
+                    float(np.asarray(respond_chain(q_dev, k)))
                     best = min(best, time.perf_counter() - t0)
                 out[k] = best
             return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
@@ -178,7 +181,7 @@ def main() -> None:
         "value": round(scan_gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(scan_gbps / BASELINE_RESPOND_GBPS, 3),
-        "config": f"2^{LOG_N}x{VALUE_LEN}B arity{ARITY} b={server.mat_elem_bit_len}",
+        "config": f"2^{LOG_N}x{VALUE_LEN}B arity{ARITY} b={server.mat_elem_bit_len} prg={PRG_MODE}",
         "server_setup_s": round(t_setup, 2),
         "client_setup_s": round(t_client_setup, 2),
         "client_query_ms": round(t_query * 1e3, 2),

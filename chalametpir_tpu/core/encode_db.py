@@ -62,7 +62,11 @@ def from_kv_database(
             digest_bytes[key_index], values_in_peel_order, mat_elem_bit_len, cols
         )
 
-    mat = np.zeros((filt.num_fingerprints, cols), dtype=np.uint32)
+    if _native is not None:
+        # MAP_POPULATE anonymous pages arrive zero-filled
+        mat = _native.alloc_array((filt.num_fingerprints, cols), np.uint32)
+    else:
+        mat = np.zeros((filt.num_fingerprints, cols), dtype=np.uint32)
     if _native is not None:
         _native.assemble_rows(
             mat,

@@ -1,15 +1,24 @@
-"""Public-matrix expansion: seed -> LWE matrix A via TurboSHAKE128 XOF.
+"""Public-matrix expansion: seed -> LWE matrix A via TurboSHAKE128.
 
-The 32-byte seed is absorbed once and the XOF stream is read row-major
-into uint32 little-endian elements (reference:
-chalametpir_common/src/matrix.rs:541-558). The stream is a single
-sequential sponge — it cannot be parallelised without breaking interop —
-so the fast path is the native C++ engine; the pure-Python sponge is the
-fallback for small matrices and tests.
+Two derivation modes:
 
-`iter_row_blocks` exposes the stream as contiguous row blocks so the
-server can pipeline: squeeze a block, ship it to the TPU, fold it into
-the hint matmul, while the next block is being squeezed.
+* **stream** (default, wire-compatible with the reference): the 32-byte
+  seed is absorbed once and one sequential XOF stream is read row-major
+  into uint32 LE elements (reference:
+  chalametpir_common/src/matrix.rs:541-558). A single sponge stream
+  cannot be parallelised, so this mode is host-bound on one core.
+
+* **ctr** (TPU-native): byte block i of the stream is
+  `TurboSHAKE128(seed || LE64(i))[:168]`. Blocks are independent, so the
+  expansion runs batched on the host (vectorised numpy / native C++) or
+  entirely on the TPU (ops/prg_jax.py) — the server then never ships A
+  over the host link at all. Same cost per byte (one Keccak-p[1600,12]
+  permutation per 168 bytes), same security argument (each block is an
+  independent XOF output of a distinct message under the public seed);
+  not interoperable with reference peers, which is why it is opt-in.
+
+Both modes expose the same API surface: full expansion and a row-block
+iterator the server uses to pipeline the hint matmul.
 """
 
 from __future__ import annotations
@@ -18,44 +27,78 @@ from typing import Iterator
 
 import numpy as np
 
-from .keccak import TurboShake128
+from .keccak import RATE, TurboShake128, turboshake128_batch
 
 try:
     from ..native import engine as _native
 except Exception:  # pragma: no cover
     _native = None
 
+PRG_MODES = ("stream", "ctr")
+
 
 class SeedStream:
-    """Streaming XOF squeeze of the matrix byte stream."""
+    """Streaming squeeze of the matrix byte stream (either mode)."""
 
-    def __init__(self, seed: bytes) -> None:
-        if _native is not None:
-            self._native = _native.XofStream(seed)
-            self._py = None
-        else:
-            self._native = None
-            self._py = TurboShake128()
-            self._py.absorb(seed)
-            self._py.finalize()
+    def __init__(self, seed: bytes, mode: str = "stream") -> None:
+        if mode not in PRG_MODES:
+            raise ValueError(f"unknown prg mode {mode!r}")
+        self._mode = mode
+        self._seed = seed
+        self._block = 0  # next ctr block
+        self._carry = b""
+        if mode == "stream":
+            if _native is not None:
+                self._native = _native.XofStream(seed)
+                self._py = None
+            else:
+                self._native = None
+                self._py = TurboShake128()
+                self._py.absorb(seed)
+                self._py.finalize()
 
     def read_u32(self, count: int) -> np.ndarray:
         nbytes = count * 4
-        if self._native is not None:
-            return self._native.squeeze_u32(count)
-        return np.frombuffer(self._py.squeeze(nbytes), dtype="<u4").copy()
+        if self._mode == "stream":
+            if self._native is not None:
+                return self._native.squeeze_u32(count)
+            return np.frombuffer(self._py.squeeze(nbytes), dtype="<u4").copy()
+
+        need = nbytes - len(self._carry)
+        nblocks = max(0, -(-need // RATE))
+        blocks = _ctr_blocks(self._seed, self._block, nblocks)
+        self._block += nblocks
+        flat = blocks.reshape(-1)
+        if self._carry:
+            flat = np.concatenate([np.frombuffer(self._carry, np.uint8), flat])
+        self._carry = flat[nbytes:].tobytes()
+        return np.ascontiguousarray(flat[:nbytes]).view("<u4")
 
 
-def expand_seed(rows: int, cols: int, seed: bytes) -> np.ndarray:
+def _ctr_blocks(seed: bytes, block0: int, nblocks: int) -> np.ndarray:
+    """(nblocks, RATE) uint8 of ctr-mode output."""
+    if nblocks == 0:
+        return np.zeros((0, RATE), np.uint8)
+    if _native is not None:
+        return _native.ctr_expand(seed, block0, nblocks)
+    msgs = np.zeros((nblocks, len(seed) + 8), np.uint8)
+    msgs[:, : len(seed)] = np.frombuffer(seed, np.uint8)
+    ctrs = (np.arange(block0, block0 + nblocks, dtype=np.uint64)).view(np.uint8).reshape(nblocks, 8)
+    msgs[:, len(seed) :] = ctrs
+    lengths = np.full(nblocks, len(seed) + 8, np.int64)
+    return turboshake128_batch(msgs, lengths, RATE)
+
+
+def expand_seed(rows: int, cols: int, seed: bytes, mode: str = "stream") -> np.ndarray:
     """Full (rows, cols) uint32 matrix A."""
-    return SeedStream(seed).read_u32(rows * cols).reshape(rows, cols)
+    return SeedStream(seed, mode).read_u32(rows * cols).reshape(rows, cols)
 
 
 def iter_row_blocks(
-    rows: int, cols: int, seed: bytes, block_rows: int
+    rows: int, cols: int, seed: bytes, block_rows: int, mode: str = "stream"
 ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield (row_offset, (r, cols) uint32 block) covering A in order."""
-    stream = SeedStream(seed)
+    stream = SeedStream(seed, mode)
     for r0 in range(0, rows, block_rows):
         r = min(block_rows, rows - r0)
         yield r0, stream.read_u32(r * cols).reshape(r, cols)

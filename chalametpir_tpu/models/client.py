@@ -49,13 +49,20 @@ class Client:
         self._rng = np.random.default_rng()
 
     @classmethod
-    def setup(cls, seed: bytes, hint_bytes: bytes, filter_param_bytes: bytes) -> "Client":
+    def setup(
+        cls,
+        seed: bytes,
+        hint_bytes: bytes,
+        filter_param_bytes: bytes,
+        prg_mode: str = "stream",
+    ) -> "Client":
         """Regenerate A from the seed, parse the hint
-        (reference: client.rs:39-57)."""
+        (reference: client.rs:39-57). `prg_mode` must match the server's
+        (see core/prg.py; "stream" is reference-compatible)."""
         if len(seed) != SEED_BYTE_LEN:
             raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
         filt = BinaryFuseFilter.from_bytes(filter_param_bytes)
-        pub_mat_a = prg.expand_seed(LWE_DIMENSION, filt.num_fingerprints, seed)
+        pub_mat_a = prg.expand_seed(LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode)
         hint_mat_m = matrix_io.matrix_from_bytes(hint_bytes)
         if hint_mat_m.shape[0] != LWE_DIMENSION:
             raise InvalidHintMatrix()

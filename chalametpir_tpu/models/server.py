@@ -18,6 +18,8 @@ a device, used as the cross-check oracle in tests.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 from ..core import encode_db, matrix_io, prg
@@ -64,35 +66,47 @@ class Server:
         arity: int = 3,
         backend: str = "auto",
         layout: str = "auto",
+        prg_mode: str = "stream",
         hint_block_rows: int | None = None,
         rng: np.random.Generator | None = None,
     ) -> tuple["Server", bytes, bytes]:
         """Encode `db`, compute the hint M = A . D, return
         (server, hint_bytes, filter_param_bytes)
-        (reference: server.rs:47-78)."""
+        (reference: server.rs:47-78).
+
+        prg_mode: "stream" derives A exactly like the reference (serial
+        host XOF, wire-compatible with Rust peers); "ctr" derives A in
+        independent counter blocks so it is generated *on the TPU* and
+        never crosses the host link — both peers must use the same mode
+        (see core/prg.py)."""
         if len(db) == 0:
             raise EmptyKVDatabase()
         if len(seed) != SEED_BYTE_LEN:
             raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
         backend = _resolve_backend(backend)
 
+        from ..utils import telemetry
+
         bit_len = find_mat_elem_bit_len(len(db))
-        mat_d, filt = encode_db.from_kv_database(
-            db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
-        )
+        with telemetry.span("server_setup.encode_db", entries=len(db), b=bit_len):
+            mat_d, filt = encode_db.from_kv_database(
+                db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
+            )
         m, cols = mat_d.shape
 
         if backend == "numpy":
-            mat_a = prg.expand_seed(LWE_DIMENSION, m, seed)
+            mat_a = prg.expand_seed(LWE_DIMENSION, m, seed, mode=prg_mode)
             hint = (mat_a.astype(np.uint64) @ mat_d.astype(np.uint64)).astype(np.uint32)
             server = cls("numpy", mat_d, m, cols, bit_len)
         else:
-            server, hint = cls._setup_jax(seed, mat_d, bit_len, layout, hint_block_rows)
+            server, hint = cls._setup_jax(
+                seed, mat_d, bit_len, layout, prg_mode, hint_block_rows
+            )
 
         return server, matrix_io.matrix_to_bytes(hint), filt.to_bytes()
 
     @classmethod
-    def _setup_jax(cls, seed, mat_d, bit_len, layout, hint_block_rows):
+    def _setup_jax(cls, seed, mat_d, bit_len, layout, prg_mode, hint_block_rows):
         import jax
         import jax.numpy as jnp
 
@@ -112,27 +126,79 @@ class Server:
             hint_block_rows = max(1, (16 << 20) // max(1, 4 * m))
         hint_block_rows = min(hint_block_rows, LWE_DIMENSION)
 
+        from ..utils import telemetry
+
         if layout == "packed":
-            db = respond_pallas.build_pallas_db(mat_d, bit_len)
-            # the hint matmul IS a batched respond: each streamed A row
-            # block is a batch of hint_block_rows "queries"
-            hint_rows = []
-            for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
-                r = block.shape[0]
-                if r < hint_block_rows:
-                    block = np.pad(block, ((0, hint_block_rows - r), (0, 0)))
-                out = respond_pallas.respond_batch_packed(jax.device_put(block), db)
-                hint_rows.append((r, out))
-            hint = np.concatenate(
-                [np.asarray(h)[:r] for r, h in hint_rows], axis=0
-            ).astype(np.uint32)
+            with telemetry.span("server_setup.pack_and_upload", m=m, cols=cols):
+                db = respond_pallas.build_pallas_db(mat_d, bit_len)
+
+            # The hint matmul IS a batched respond: each A row block is a
+            # batch of hint_block_rows "queries". The hint accumulates in
+            # a device buffer; only the final (1774 x cols) matrix crosses
+            # back to the host. In ctr mode the A rows are generated
+            # on-device too — setup then uploads nothing but the DB.
+            n_blocks = -(-LWE_DIMENSION // hint_block_rows)
+            pad_rows = n_blocks * hint_block_rows
+
+            if prg_mode == "ctr":
+                from ..ops import prg_jax
+
+                # A is generated on-device (Pallas Keccak, ~25 GB/s), so
+                # slabs are bounded by HBM, not the host link: 128 rows of
+                # A is ~0.6 GB at the largest single-chip DB
+                rows_per_step = min(128, LWE_DIMENSION)
+                n_steps = -(-LWE_DIMENSION // rows_per_step)
+                pad_rows = n_steps * rows_per_step
+                seed_words = prg_jax.seed_to_words(seed)
+
+                # separately-jitted stages: fusing the Keccak generator,
+                # the respond kernel, and the slice update into one
+                # program sends the compiler into the weeds
+                @jax.jit
+                def gen_slab(blk0_words, offset):
+                    return prg_jax.rows_from_blocks(
+                        seed_words, blk0_words, offset, rows_per_step, m
+                    )
+
+                @partial(jax.jit, donate_argnums=0)
+                def write_rows(hint_buf, out, r0):
+                    return jax.lax.dynamic_update_slice(hint_buf, out, (r0, jnp.int32(0)))
+
+                with telemetry.span("server_setup.hint_ctr_on_device", steps=n_steps):
+                    hint_buf = jnp.zeros((pad_rows, cols), jnp.uint32)
+                    for r0 in range(0, LWE_DIMENSION, rows_per_step):
+                        word0 = r0 * m
+                        blk0 = (word0 * 4) // 168
+                        blk0_words = jnp.asarray(
+                            np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32)
+                        )
+                        a_slab = gen_slab(blk0_words, jnp.int32(word0 - blk0 * 42))
+                        out = respond_pallas.respond_batch_packed(a_slab, db)
+                        hint_buf = write_rows(hint_buf, out, jnp.int32(r0))
+                    hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
+                return cls("jax", db, m, cols, bit_len, "packed"), hint
+
+            @partial(jax.jit, donate_argnums=0)
+            def hint_step(hint_buf, block, r0):
+                out = respond_pallas.respond_batch_packed(block, db)
+                return jax.lax.dynamic_update_slice(
+                    hint_buf, out, (r0, jnp.int32(0))
+                )
+
+            with telemetry.span("server_setup.hint_stream", blocks=n_blocks):
+                hint_buf = jnp.zeros((pad_rows, cols), jnp.uint32)
+                for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
+                    if block.shape[0] < hint_block_rows:
+                        block = np.pad(block, ((0, hint_block_rows - block.shape[0]), (0, 0)))
+                    hint_buf = hint_step(hint_buf, jax.device_put(block), jnp.int32(r0))
+                hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
             return cls("jax", db, m, cols, bit_len, "packed"), hint
 
         p0_host, p1_host = digits.db_digit_planes_np(mat_d)
         d0 = jax.device_put(p0_host)
         d1 = jax.device_put(p1_host)
         hint_rows = []
-        for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
+        for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows, mode=prg_mode):
             r = block.shape[0]
             if r < hint_block_rows:
                 block = np.pad(block, ((0, hint_block_rows - r), (0, 0)))
@@ -184,6 +250,70 @@ class Server:
     @property
     def num_response_cols(self) -> int:
         return self._num_response_cols
+
+    # -- persistence ---------------------------------------------------------
+    #
+    # The reference has no long-job checkpointing; its serialization formats
+    # *are* the state transfer (SURVEY.md section 5). We go one step further
+    # and let a server persist its full online state, so a restarted
+    # process can resume serving without re-running setup.
+
+    def save(self, path: str) -> None:
+        """Persist the online serving state (not the hint/filter — those
+        already left the building at setup time)."""
+        meta = dict(
+            backend=self._backend,
+            layout=self._layout,
+            num_query_cols=self._num_query_cols,
+            num_response_cols=self._num_response_cols,
+            mat_elem_bit_len=self.mat_elem_bit_len,
+        )
+        if self._backend == "numpy":
+            np.savez(path, meta=np.array([repr(meta)]), mat_d=self._planes)
+        elif self._layout == "packed":
+            db = self._planes
+            arrays = dict(lo=np.asarray(db.lo), tile_k=np.array([db.tile_k]))
+            if db.hi is not None:
+                arrays["hi"] = np.asarray(db.hi)
+            np.savez(path, meta=np.array([repr(meta)]), **arrays)
+        else:
+            d0, d1 = self._planes
+            np.savez(path, meta=np.array([repr(meta)]), d0=np.asarray(d0), d1=np.asarray(d1))
+
+    @classmethod
+    def load(cls, path: str) -> "Server":
+        """Rebuild a serving-ready Server from a save() archive."""
+        import ast
+
+        with np.load(path) as archive:
+            meta = ast.literal_eval(str(archive["meta"][0]))
+            if meta["backend"] == "numpy":
+                planes = archive["mat_d"]
+            elif meta["layout"] == "packed":
+                import jax
+
+                from ..ops.respond_pallas import PallasDB
+
+                planes = PallasDB(
+                    lo=jax.device_put(archive["lo"]),
+                    hi=jax.device_put(archive["hi"]) if "hi" in archive else None,
+                    mat_elem_bit_len=meta["mat_elem_bit_len"],
+                    num_rows=meta["num_query_cols"],
+                    num_cols=meta["num_response_cols"],
+                    tile_k=int(archive["tile_k"][0]),
+                )
+            else:
+                import jax
+
+                planes = (jax.device_put(archive["d0"]), jax.device_put(archive["d1"]))
+        return cls(
+            meta["backend"],
+            planes,
+            meta["num_query_cols"],
+            meta["num_response_cols"],
+            meta["mat_elem_bit_len"],
+            meta["layout"],
+        )
 
 
 def _resolve_backend(backend: str) -> str:

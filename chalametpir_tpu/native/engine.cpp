@@ -17,6 +17,8 @@
 #include <cstring>
 #include <vector>
 
+#include <sys/mman.h>
+
 // ---------------------------------------------------------------------------
 // Keccak-p[1600,12] and the TurboSHAKE128 sponge (rate 168, domain 0x1F).
 // ---------------------------------------------------------------------------
@@ -161,6 +163,23 @@ void ts128_hash_keys(const uint8_t* data, const int64_t* offsets, int64_t n,
     Xof x;
     xof_init(&x, data + offsets[i], offsets[i + 1] - offsets[i]);
     xof_squeeze(&x, out32 + 32 * i, 32);
+  }
+}
+
+// Counter-mode TurboSHAKE expansion: block i of the stream is the first
+// 168 bytes of TurboSHAKE128(seed || LE64(i)). Unlike the reference's
+// single serial sponge, blocks are independent — the same function runs
+// embarrassingly parallel on host SIMD or on the TPU (ops/prg_jax.py).
+void ts128_ctr_expand(const uint8_t* seed, int64_t seed_len, int64_t block0,
+                      int64_t nblocks, uint8_t* out) {
+  std::vector<uint8_t> msg(static_cast<size_t>(seed_len) + 8);
+  std::memcpy(msg.data(), seed, static_cast<size_t>(seed_len));
+  for (int64_t i = 0; i < nblocks; ++i) {
+    const uint64_t ctr = static_cast<uint64_t>(block0 + i);
+    std::memcpy(msg.data() + seed_len, &ctr, 8);
+    Xof x;
+    xof_init(&x, msg.data(), static_cast<int64_t>(msg.size()));
+    std::memcpy(out + i * RATE, reinterpret_cast<const uint8_t*>(x.st), RATE);
   }
 }
 
@@ -325,6 +344,50 @@ void ternary_matvec(const int8_t* codes, const uint32_t* mat, int64_t k,
 void mix_row_mask(uint64_t h, int64_t cols, uint32_t mask, uint32_t* out) {
   for (int64_t c = 0; c < cols; ++c)
     out[c] = static_cast<uint32_t>(murmur64(h + static_cast<uint64_t>(c))) & mask;
+}
+
+// Single-pass build of the Pallas respond layout (ops/respond_pallas.py):
+// biased low-byte plane plus the block-interleaved bit-packed high plane.
+// Replaces several GB-scale numpy passes with one streaming read of D.
+// mat: (m, c) u32; lo: (m_pad, c_pad) i8 zero-initialised; hi: packed
+// plane (m_pad, pc) u8 zero-initialised or null when hi_bits == 0.
+void build_packed_planes(const uint32_t* mat, int64_t m, int64_t c,
+                         int64_t m_pad, int64_t c_pad, int8_t* lo,
+                         uint8_t* hi, int32_t pack, int32_t bits) {
+  (void)m_pad;
+  const int64_t pc = (pack > 1) ? c_pad / pack : c_pad;
+  for (int64_t r = 0; r < m; ++r) {
+    const uint32_t* src = mat + r * c;
+    int8_t* lo_row = lo + r * c_pad;
+    for (int64_t j = 0; j < c; ++j)
+      lo_row[j] = static_cast<int8_t>(static_cast<uint8_t>(src[j]) - 128u);
+    if (hi == nullptr) continue;
+    uint8_t* hi_row = hi + r * pc;
+    if (pack <= 1) {
+      for (int64_t j = 0; j < c; ++j)
+        hi_row[j] = static_cast<uint8_t>(src[j] >> 8);
+    } else {
+      // field f of word t <- logical column f*pc + t
+      for (int64_t j = 0; j < c; ++j) {
+        const int64_t f = j / pc, t = j - f * pc;
+        hi_row[t] |= static_cast<uint8_t>(src[j] >> 8) << (bits * f);
+      }
+    }
+  }
+}
+
+// Pre-populated anonymous mappings for GB-scale buffers. On this class of
+// VM, demand paging from user space costs ~20 us per 4 KB page (~0.2 GB/s
+// of "first touch"); MAP_POPULATE faults the range inside one syscall,
+// ~3-4x faster, and writes afterwards run at full DRAM speed.
+void* pir_alloc_populated(int64_t nbytes) {
+  void* p = mmap(nullptr, static_cast<size_t>(nbytes), PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS | MAP_POPULATE, -1, 0);
+  return p == MAP_FAILED ? nullptr : p;
+}
+
+void pir_free_populated(void* p, int64_t nbytes) {
+  if (p != nullptr) munmap(p, static_cast<size_t>(nbytes));
 }
 
 }  // extern "C"

@@ -43,6 +43,9 @@ _lib.ts128_xof_new.argtypes = [_u8p, ctypes.c_int64]
 _lib.ts128_xof_squeeze.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
 _lib.ts128_xof_free.argtypes = [ctypes.c_void_p]
 _lib.ts128_hash_keys.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p]
+_lib.ts128_ctr_expand.argtypes = [
+    _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _u8p,
+]
 _lib.bff_peel.restype = ctypes.c_int32
 _lib.bff_peel.argtypes = [
     _u64p, ctypes.c_int64, ctypes.c_int64,
@@ -57,6 +60,33 @@ _lib.assemble_rows.argtypes = [
 ]
 _lib.ternary_matvec.argtypes = [_i8p, _u32p, ctypes.c_int64, ctypes.c_int64, _u32p]
 _lib.mix_row_mask.argtypes = [ctypes.c_uint64, ctypes.c_int64, ctypes.c_uint32, _u32p]
+_lib.pir_alloc_populated.restype = ctypes.c_void_p
+_lib.pir_alloc_populated.argtypes = [ctypes.c_int64]
+_lib.pir_free_populated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+_lib.build_packed_planes.argtypes = [
+    _u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    _i8p, _u8p, ctypes.c_int32, ctypes.c_int32,
+]
+
+
+def alloc_array(shape, dtype) -> np.ndarray:
+    """Zero-filled numpy array over a MAP_POPULATE mapping — use for
+    GB-scale buffers (demand paging on this class of VM makes filling a
+    plain np.empty several times slower)."""
+    dtype = np.dtype(dtype)
+    nbytes = int(np.prod(shape)) * dtype.itemsize
+    if nbytes < (64 << 20):  # not worth a syscall dance for small buffers
+        return np.zeros(shape, dtype)
+    ptr = _lib.pir_alloc_populated(nbytes)
+    if not ptr:
+        return np.zeros(shape, dtype)
+    raw = (ctypes.c_uint8 * nbytes).from_address(ptr)
+    arr = np.frombuffer(raw, dtype=np.uint8, count=nbytes).view(dtype).reshape(shape)
+    # free the mapping when the array's base buffer dies
+    import weakref
+
+    weakref.finalize(raw, _lib.pir_free_populated, ptr, nbytes)
+    return arr
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -71,7 +101,7 @@ class XofStream:
         self._handle = _lib.ts128_xof_new(_ptr(buf, _u8p), len(seed))
 
     def squeeze(self, n: int) -> np.ndarray:
-        out = np.empty(n, np.uint8)
+        out = alloc_array((n,), np.uint8)
         _lib.ts128_xof_squeeze(self._handle, _ptr(out, _u8p), n)
         return out
 
@@ -88,6 +118,15 @@ class XofStream:
 
 def turboshake128(data: bytes, out_len: int) -> bytes:
     return XofStream(data).squeeze(out_len).tobytes()
+
+
+def ctr_expand(seed: bytes, block0: int, nblocks: int) -> np.ndarray:
+    """Counter-mode expansion: (nblocks, 168) uint8, block i =
+    TurboSHAKE128(seed || LE64(block0 + i))[:168]."""
+    buf = np.frombuffer(seed, np.uint8)
+    out = alloc_array((nblocks, 168), np.uint8)
+    _lib.ts128_ctr_expand(_ptr(buf, _u8p), len(seed), block0, nblocks, _ptr(out, _u8p))
+    return out
 
 
 def hash_keys(keys: list[bytes]) -> np.ndarray:
@@ -124,7 +163,7 @@ def encode_rows(digests: np.ndarray, values: list[bytes], b: int, cols: int) -> 
     for i, v in enumerate(values):
         offsets[i + 1] = offsets[i] + len(v)
     data = np.frombuffer(b"".join(values), np.uint8) if offsets[-1] else np.zeros(1, np.uint8)
-    out = np.empty((n, cols), np.uint32)
+    out = alloc_array((n, cols), np.uint32)
     _lib.encode_rows(
         _ptr(digests, _u8p), _ptr(data, _u8p), _ptr(offsets, _i64p), n, b, cols, _ptr(out, _u32p)
     )
@@ -162,3 +201,23 @@ def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:
     out = np.empty(cols, np.uint32)
     _lib.mix_row_mask(ctypes.c_uint64(h), cols, ctypes.c_uint32(mask), _ptr(out, _u32p))
     return out
+
+
+def build_packed_planes(mat: np.ndarray, m_pad: int, c_pad: int, pack: int, bits: int):
+    """One-pass construction of (lo, hi_packed) host planes for the Pallas
+    respond layout; hi is None when pack == 0."""
+    mat = np.ascontiguousarray(mat, np.uint32)
+    m, c = mat.shape
+    lo = alloc_array((m_pad, c_pad), np.int8)
+    if pack == 0:
+        _lib.build_packed_planes(
+            _ptr(mat, _u32p), m, c, m_pad, c_pad, _ptr(lo, _i8p),
+            ctypes.cast(None, _u8p), 0, 0,
+        )
+        return lo, None
+    pc = c_pad // pack if pack > 1 else c_pad
+    hi = alloc_array((m_pad, pc), np.uint8)
+    _lib.build_packed_planes(
+        _ptr(mat, _u32p), m, c, m_pad, c_pad, _ptr(lo, _i8p), _ptr(hi, _u8p), pack, bits
+    )
+    return lo, hi

@@ -58,32 +58,39 @@ class PallasDB:
 
 def build_pallas_db(mat: np.ndarray, mat_elem_bit_len: int, tile_k: int = DEFAULT_TILE_K) -> PallasDB:
     """(m, c) uint32 encoded DB -> packed device planes."""
+    try:
+        from ..native import engine as _native
+    except Exception:  # pragma: no cover - native build unavailable
+        _native = None
+
     m, c = mat.shape
     m_pad = _round_up(m, tile_k)
     c_pad = _round_up(c, LANE)
-
-    lo = np.zeros((m_pad, c_pad), np.int8)
-    lo[:m, :c] = ((mat & np.uint32(255)).astype(np.int16) - 128).astype(np.int8)
-    # padded rows must contribute zero against *zero-padded query digits*;
-    # any value works, 0 keeps it simple
-
     hb = hi_bits(mat_elem_bit_len)
-    hi_dev = None
-    if hb > 0:
-        pack = hi_pack_factor(mat_elem_bit_len)
-        bits = 8 // pack if pack > 1 else 8
-        pc = c_pad // pack if pack > 1 else c_pad
-        hi_full = np.zeros((m_pad, c_pad), np.uint8)
-        hi_full[:m, :c] = (mat >> np.uint32(8)).astype(np.uint8)
-        if pack == 1:
-            hi_host = hi_full
-        else:
-            # block interleave: field j of word t <- logical column j*pc + t
-            hi_host = np.zeros((m_pad, pc), np.uint8)
-            for j in range(pack):
-                hi_host |= hi_full[:, j * pc : (j + 1) * pc] << np.uint8(bits * j)
-        hi_dev = jax.device_put(hi_host)
-    return PallasDB(jax.device_put(lo), hi_dev, mat_elem_bit_len, m, c, tile_k)
+    pack = hi_pack_factor(mat_elem_bit_len) if hb > 0 else 0
+    bits = (8 // pack if pack > 1 else 8) if pack else 0
+
+    if _native is not None:
+        lo_host, hi_host = _native.build_packed_planes(mat, m_pad, c_pad, pack, bits)
+    else:
+        lo_host = np.zeros((m_pad, c_pad), np.int8)
+        lo_host[:m, :c] = ((mat & np.uint32(255)).astype(np.int16) - 128).astype(np.int8)
+        # padded rows must contribute zero against *zero-padded query
+        # digits*; any value works, 0 keeps it simple
+        hi_host = None
+        if hb > 0:
+            pc = c_pad // pack if pack > 1 else c_pad
+            hi_full = np.zeros((m_pad, c_pad), np.uint8)
+            hi_full[:m, :c] = (mat >> np.uint32(8)).astype(np.uint8)
+            if pack == 1:
+                hi_host = hi_full
+            else:
+                # block interleave: field j of word t <- logical col j*pc + t
+                hi_host = np.zeros((m_pad, pc), np.uint8)
+                for j in range(pack):
+                    hi_host |= hi_full[:, j * pc : (j + 1) * pc] << np.uint8(bits * j)
+    hi_dev = jax.device_put(hi_host) if hi_host is not None else None
+    return PallasDB(jax.device_put(lo_host), hi_dev, mat_elem_bit_len, m, c, tile_k)
 
 
 def _kernel_with_hi(pack: int, bits: int, qd_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):

@@ -1,0 +1,57 @@
+"""Lightweight tracing/observability.
+
+The reference library is deliberately silent (SURVEY.md section 5 —
+println! only in examples); for a production serving framework we keep
+the default silent but provide opt-in phase spans and JAX profiler
+integration:
+
+* `CHALAMETPIR_TRACE=1` (or `set_trace(True)`) prints span timings to
+  stderr;
+* `profile_to(logdir)` wraps a block in a `jax.profiler` trace so device
+  kernels show up in TensorBoard/XProf.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+import time
+
+_ENABLED = os.environ.get("CHALAMETPIR_TRACE", "") not in ("", "0")
+
+
+def set_trace(enabled: bool) -> None:
+    global _ENABLED
+    _ENABLED = enabled
+
+
+def trace_enabled() -> bool:
+    return _ENABLED
+
+
+@contextlib.contextmanager
+def span(name: str, **fields):
+    """Time a phase; prints `[trace] name took 1.23s {fields}` when enabled."""
+    if not _ENABLED:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        extra = " ".join(f"{k}={v}" for k, v in fields.items())
+        print(f"[trace] {name}: {dt:.3f}s {extra}".rstrip(), file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def profile_to(logdir: str):
+    """JAX profiler trace around a block (TPU kernel timeline)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
