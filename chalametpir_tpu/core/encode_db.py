@@ -52,40 +52,36 @@ def from_kv_database(
     cols = codec.encoded_row_width(max_value_len, mat_elem_bit_len)
 
     digest_bytes = np.ascontiguousarray(digests).view(np.uint8).reshape(len(keys), 32)
-    values_in_peel_order = [values[i] for i in key_index]
+    # D is stored uint16: elements are < 2^b <= 2^14 and every mod-2^b
+    # identity commutes with mod-2^16 wraparound — half the footprint and
+    # host-memory traffic of a uint32 matrix
     if _native is not None:
-        rows_in_peel_order = _native.encode_rows(
-            digest_bytes[key_index], values_in_peel_order, mat_elem_bit_len, cols
+        mat = _native.encode_assemble_rows16(
+            digest_bytes,
+            values,
+            key_index,
+            reverse_order,
+            reverse_h,
+            mat_elem_bit_len,
+            cols,
+            filt.num_fingerprints,
+            filt.arity,
+            filt.segment_length,
+            filt.segment_count_length,
         )
     else:
+        values_in_peel_order = [values[i] for i in key_index]
         rows_in_peel_order = codec.encode_rows(
             digest_bytes[key_index], values_in_peel_order, mat_elem_bit_len, cols
         )
-
-    if _native is not None:
-        # MAP_POPULATE anonymous pages arrive zero-filled
-        mat = _native.alloc_array((filt.num_fingerprints, cols), np.uint32)
-    else:
-        mat = np.zeros((filt.num_fingerprints, cols), dtype=np.uint32)
-    if _native is not None:
-        _native.assemble_rows(
-            mat,
-            rows_in_peel_order,
-            reverse_order,
-            reverse_h,
-            None,
-            mat_elem_bit_len,
-            arity=filt.arity,
-            seg_len=filt.segment_length,
-            seg_cnt_len=filt.segment_count_length,
-        )
-    else:
+        mat32 = np.zeros((filt.num_fingerprints, cols), dtype=np.uint32)
         hrows = np.stack(
             hash_batch(arity, reverse_order, filt.segment_length, filt.segment_count_length)
         ).astype(np.int64)  # (arity, n)
         _assemble_rows_numpy(
-            mat, rows_in_peel_order, reverse_order, reverse_h, hrows, mat_elem_bit_len
+            mat32, rows_in_peel_order, reverse_order, reverse_h, hrows, mat_elem_bit_len
         )
+        mat = mat32.astype(np.uint16)
     return mat, filt
 
 

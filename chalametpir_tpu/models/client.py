@@ -10,6 +10,7 @@ vice versa.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -32,6 +33,16 @@ except Exception:  # pragma: no cover - native build unavailable
     _native = None
 
 
+def _accelerator_present() -> bool:
+    """True when JAX has a non-CPU backend to run the query matvec on."""
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - no jax in a host-only deploy
+        return False
+
+
 @dataclass
 class Query:
     """Pending-query state: the secret unblinding vector c = s . M
@@ -41,12 +52,18 @@ class Query:
 
 
 class Client:
-    def __init__(self, pub_mat_a: np.ndarray, hint_mat_m: np.ndarray, filt: BinaryFuseFilter):
+    def __init__(
+        self,
+        pub_mat_a: np.ndarray | None,
+        hint_mat_m: np.ndarray,
+        filt: BinaryFuseFilter,
+        device_engine=None,
+    ):
         self._pub_mat_a = pub_mat_a
         self._hint_mat_m = hint_mat_m
         self._filter = filt
+        self._engine = device_engine
         self._pending: dict[bytes, Query] = {}
-        self._rng = np.random.default_rng()
 
     @classmethod
     def setup(
@@ -55,17 +72,39 @@ class Client:
         hint_bytes: bytes,
         filter_param_bytes: bytes,
         prg_mode: str = "stream",
+        device: bool | str = "auto",
     ) -> "Client":
         """Regenerate A from the seed, parse the hint
         (reference: client.rs:39-57). `prg_mode` must match the server's
-        (see core/prg.py; "stream" is reference-compatible)."""
+        (see core/prg.py; "stream" is reference-compatible).
+
+        `device` controls where A lives and where s . A runs:
+        True -> TPU (in ctr mode A is generated on device and never
+        crosses the host link; in stream mode the host XOF expands it once
+        and uploads); False -> host numpy/native; "auto" -> TPU whenever an
+        accelerator backend is present."""
         if len(seed) != SEED_BYTE_LEN:
             raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
         filt = BinaryFuseFilter.from_bytes(filter_param_bytes)
-        pub_mat_a = prg.expand_seed(LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode)
         hint_mat_m = matrix_io.matrix_from_bytes(hint_bytes)
         if hint_mat_m.shape[0] != LWE_DIMENSION:
             raise InvalidHintMatrix()
+
+        if device == "auto":
+            device = _accelerator_present()
+        if device:
+            from ..ops.client_device import DeviceQueryEngine
+
+            if prg_mode == "ctr":
+                engine = DeviceQueryEngine.from_seed_ctr(seed, filt.num_fingerprints)
+            else:
+                a_host = prg.expand_seed(
+                    LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
+                )
+                engine = DeviceQueryEngine.from_host_matrix(a_host)
+            return cls(None, hint_mat_m, filt, device_engine=engine)
+
+        pub_mat_a = prg.expand_seed(LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode)
         return cls(pub_mat_a, hint_mat_m, filt)
 
     # -- query ---------------------------------------------------------------
@@ -79,11 +118,14 @@ class Client:
         if key in self._pending:
             raise PendingQueryExistsForKey()
 
-        m = self._pub_mat_a.shape[1]
+        m = self._filter.num_fingerprints
         secret_s = self._sample_ternary(LWE_DIMENSION)
         error_e = self._sample_ternary_u32(m)
 
-        query_b = self._ternary_matvec(secret_s, self._pub_mat_a) + error_e
+        if self._engine is not None:
+            query_b = self._engine.matvec(secret_s) + error_e
+        else:
+            query_b = self._ternary_matvec(secret_s, self._pub_mat_a) + error_e
         vec_c = self._ternary_matvec(secret_s, self._hint_mat_m)
 
         digest = hashing.hash_of_key(key)
@@ -155,10 +197,26 @@ class Client:
 
     # -- internals -------------------------------------------------------------
 
-    def _sample_ternary(self, n: int) -> np.ndarray:
-        """Uniform {0, 1, -1} as {0, 1, 2} codes
-        (reference: matrix.rs:572-619; -1 is u32::MAX on the wire)."""
-        return self._rng.integers(0, 3, size=n, dtype=np.int8)
+    @staticmethod
+    def _sample_ternary(n: int) -> np.ndarray:
+        """Uniform {0, 1, -1} as {0, 1, 2} codes from a CSPRNG — these are
+        LWE encryption secrets, so a statistical RNG is not acceptable
+        (reference samples from OS-entropy-keyed ChaCha8,
+        matrix.rs:572-619; -1 is u32::MAX on the wire)."""
+        entropy = os.urandom(32)
+        if _native is not None:
+            return _native.chacha8_ternary(entropy, n)
+        # fallback: rejection-sample uniform ternary straight from OS
+        # entropy (the final partial bucket of size 2^32 mod 3 is rejected)
+        limit = np.uint32(0xFFFFFFFF - (0xFFFFFFFF % 3))
+        out = np.empty(n, np.int8)
+        filled = 0
+        while filled < n:
+            words = np.frombuffer(os.urandom(4 * (n - filled)), "<u4")
+            words = words[words < limit]
+            out[filled : filled + words.size] = (words % np.uint32(3)).astype(np.int8)
+            filled += words.size
+        return out
 
     def _sample_ternary_u32(self, n: int) -> np.ndarray:
         t = self._sample_ternary(n)
@@ -166,6 +224,10 @@ class Client:
         out[t == 1] = 1
         out[t == 2] = 0xFFFFFFFF
         return out
+
+    @property
+    def uses_device(self) -> bool:
+        return self._engine is not None
 
     @staticmethod
     def _ternary_matvec(t_codes: np.ndarray, mat: np.ndarray) -> np.ndarray:

@@ -107,6 +107,9 @@ class Server:
 
     @classmethod
     def _setup_jax(cls, seed, mat_d, bit_len, layout, prg_mode, hint_block_rows):
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         import jax
         import jax.numpy as jnp
 

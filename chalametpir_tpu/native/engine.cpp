@@ -323,6 +323,166 @@ void assemble_rows(uint32_t* mat, const uint32_t* enc_rows,
   }
 }
 
+// Fused row-encode + reverse-peel-order assembly into a uint16 matrix D.
+//
+// Equivalent to encode_rows followed by assemble_rows, but the encoded row
+// lives in a ~4 KB scratch buffer instead of a GB-scale intermediate array
+// (whose page-in alone dominated setup), and D is uint16: every element is
+// < 2^b <= 2^14, and all the mod-2^b algebra commutes with mod-2^16
+// wraparound. Inputs are in *original key order*; key_index[i] maps peel
+// position i to the original row (reference: matrix.rs:707-746, 839-885 +
+// serialization.rs:22-116 for the row codec).
+void encode_assemble_rows16(const uint8_t* digests,
+                            const uint8_t* const* value_ptrs,
+                            const int64_t* value_lens, const int64_t* key_index,
+                            const uint64_t* reverse_order,
+                            const uint8_t* reverse_h, int64_t n, int32_t b,
+                            int64_t cols, uint32_t arity, uint32_t seg_len,
+                            uint32_t seg_cnt_len, uint16_t* mat) {
+  const uint32_t mask = (1u << b) - 1;
+  std::vector<uint8_t> stream(static_cast<size_t>((cols * b + 7) / 8 + 8), 0);
+  std::vector<uint16_t> enc(static_cast<size_t>(cols));
+  std::vector<uint16_t> msk(static_cast<size_t>(cols));
+  uint32_t rows[4];
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int64_t src = key_index[i];
+    const int64_t vlen = value_lens[src];
+    // stream = digest || value || 0x81 || zero tail; values are read
+    // straight out of the caller's (Python bytes) buffers — at GB scale a
+    // contiguous join costs more in page faults than the whole encode
+    std::memcpy(stream.data(), digests + 32 * src, 32);
+    std::memcpy(stream.data() + 32, value_ptrs[src],
+                static_cast<size_t>(vlen));
+    stream[static_cast<size_t>(32 + vlen)] = 0x81;
+    std::memset(stream.data() + 33 + vlen, 0, stream.size() - 33 - vlen);
+    // branchless extraction: b <= 14 and bit%8 <= 7 need at most 21 bits,
+    // so one unaligned u32 load covers any element (no refill branch, no
+    // loop-carried dependency)
+    const uint8_t* sp = stream.data();
+    int64_t bit = 0;
+    for (int64_t e = 0; e < cols; ++e, bit += b) {
+      uint32_t w;
+      std::memcpy(&w, sp + (bit >> 3), 4);
+      enc[static_cast<size_t>(e)] =
+          static_cast<uint16_t>((w >> (bit & 7)) & mask);
+    }
+
+    const uint64_t h = reverse_order[i];
+    const uint8_t code = reverse_h[i];
+    hash_rows(h, arity, seg_len, seg_cnt_len, rows);
+    // split loops so each one auto-vectorises (AVX512: vpmullq exists)
+    for (int64_t c = 0; c < cols; ++c)
+      msk[static_cast<size_t>(c)] = static_cast<uint16_t>(
+          murmur64(h + static_cast<uint64_t>(c)));
+    uint16_t* dst = mat + static_cast<int64_t>(rows[code]) * cols;
+    const uint16_t* o1 = mat + static_cast<int64_t>(rows[(code + 1) % arity]) * cols;
+    const uint16_t* o2 = mat + static_cast<int64_t>(rows[(code + 2) % arity]) * cols;
+    if (arity == 4) {
+      const uint16_t* o3 = mat + static_cast<int64_t>(rows[(code + 3) % arity]) * cols;
+      for (int64_t c = 0; c < cols; ++c)
+        dst[c] = static_cast<uint16_t>(
+            (enc[static_cast<size_t>(c)] - o1[c] - o2[c] - o3[c] -
+             msk[static_cast<size_t>(c)]) & mask);
+    } else {
+      for (int64_t c = 0; c < cols; ++c)
+        dst[c] = static_cast<uint16_t>(
+            (enc[static_cast<size_t>(c)] - o1[c] - o2[c] -
+             msk[static_cast<size_t>(c)]) & mask);
+    }
+  }
+}
+
+// uint16-input variant of build_packed_planes (D is stored as uint16).
+void build_packed_planes16(const uint16_t* mat, int64_t m, int64_t c,
+                           int64_t m_pad, int64_t c_pad, int8_t* lo,
+                           uint8_t* hi, int32_t pack, int32_t bits) {
+  (void)m_pad;
+  const int64_t pc = (pack > 1) ? c_pad / pack : c_pad;
+  for (int64_t r = 0; r < m; ++r) {
+    const uint16_t* src = mat + r * c;
+    int8_t* lo_row = lo + r * c_pad;
+    for (int64_t j = 0; j < c; ++j)
+      lo_row[j] = static_cast<int8_t>(static_cast<uint8_t>(src[j]) - 128u);
+    if (hi == nullptr) continue;
+    uint8_t* hi_row = hi + r * pc;
+    if (pack <= 1) {
+      for (int64_t j = 0; j < c; ++j)
+        hi_row[j] = static_cast<uint8_t>(src[j] >> 8);
+    } else {
+      for (int64_t j = 0; j < c; ++j) {
+        const int64_t f = j / pc, t = j - f * pc;
+        hi_row[t] |= static_cast<uint8_t>(src[j] >> 8) << (bits * f);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// ChaCha8 CSPRNG + uniform ternary sampling (LWE secret/error vectors).
+// The reference samples from ChaCha8Rng seeded with OS entropy
+// (matrix.rs:572-619); a statistically-uniform-but-predictable generator
+// is an encryption-key defect, so numpy RNGs are not an option here.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t rotl32(uint32_t x, int s) {
+  return (x << s) | (x >> (32 - s));
+}
+
+#define CHACHA_QR(a, b, c, d)                          \
+  a += b; d ^= a; d = rotl32(d, 16);                   \
+  c += d; b ^= c; b = rotl32(b, 12);                   \
+  a += b; d ^= a; d = rotl32(d, 8);                    \
+  c += d; b ^= c; b = rotl32(b, 7)
+
+// One ChaCha8 block: 16 output words from (key, counter, nonce).
+static void chacha8_block(const uint32_t key[8], uint64_t counter,
+                          const uint32_t nonce[2], uint32_t out[16]) {
+  uint32_t s[16] = {
+      0x61707865u, 0x3320646Eu, 0x79622D32u, 0x6B206574u,
+      key[0], key[1], key[2], key[3], key[4], key[5], key[6], key[7],
+      static_cast<uint32_t>(counter), static_cast<uint32_t>(counter >> 32),
+      nonce[0], nonce[1]};
+  uint32_t x[16];
+  std::memcpy(x, s, sizeof(x));
+  for (int r = 0; r < 4; ++r) {  // 8 rounds = 4 double-rounds
+    CHACHA_QR(x[0], x[4], x[8], x[12]);
+    CHACHA_QR(x[1], x[5], x[9], x[13]);
+    CHACHA_QR(x[2], x[6], x[10], x[14]);
+    CHACHA_QR(x[3], x[7], x[11], x[15]);
+    CHACHA_QR(x[0], x[5], x[10], x[15]);
+    CHACHA_QR(x[1], x[6], x[11], x[12]);
+    CHACHA_QR(x[2], x[7], x[8], x[13]);
+    CHACHA_QR(x[3], x[4], x[9], x[14]);
+  }
+  for (int i = 0; i < 16; ++i) out[i] = x[i] + s[i];
+}
+
+extern "C" {
+
+// n uniform ternary codes {0, 1, 2} (2 encodes -1) from ChaCha8 keyed with
+// 32 bytes of caller-supplied (OS) entropy. Rejection sampling: a u32 draw
+// is rejected iff it falls in the final partial bucket of size 2^32 mod 3
+// (probability 2^-32), so the %3 map is exactly uniform.
+void chacha8_ternary(const uint8_t* key32, int64_t n, int8_t* out) {
+  uint32_t key[8];
+  std::memcpy(key, key32, 32);
+  const uint32_t nonce[2] = {0, 0};
+  const uint32_t limit = 0xFFFFFFFFu - (0xFFFFFFFFu % 3u);  // 3 * floor(2^32/3)
+  uint64_t ctr = 0;
+  int64_t i = 0;
+  uint32_t block[16];
+  while (i < n) {
+    chacha8_block(key, ctr++, nonce, block);
+    for (int w = 0; w < 16 && i < n; ++w) {
+      const uint32_t v = block[w];
+      if (v >= limit) continue;  // rejected draw; next word
+      out[i++] = static_cast<int8_t>(v % 3u);
+    }
+  }
+}
+
+}  // extern "C"
+
 // Ternary vector x matrix mod 2^32: codes[k] in {0:zero, 1:+1, 2:-1}
 // (client query path; replaces the reference's rayon matmul for s.A / s.M).
 void ternary_matvec(const int8_t* codes, const uint32_t* mat, int64_t k,

@@ -58,6 +58,17 @@ _lib.assemble_rows.argtypes = [
     _u32p, _u32p, _u64p, _u8p, ctypes.c_int64, ctypes.c_int64,
     ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int32,
 ]
+_u16p = ctypes.POINTER(ctypes.c_uint16)
+_lib.encode_assemble_rows16.argtypes = [
+    _u8p, ctypes.POINTER(ctypes.c_char_p), _i64p, _i64p, _u64p, _u8p,
+    ctypes.c_int64, ctypes.c_int32,
+    ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, _u16p,
+]
+_lib.build_packed_planes16.argtypes = [
+    _u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    _i8p, _u8p, ctypes.c_int32, ctypes.c_int32,
+]
+_lib.chacha8_ternary.argtypes = [_u8p, ctypes.c_int64, _i8p]
 _lib.ternary_matvec.argtypes = [_i8p, _u32p, ctypes.c_int64, ctypes.c_int64, _u32p]
 _lib.mix_row_mask.argtypes = [ctypes.c_uint64, ctypes.c_int64, ctypes.c_uint32, _u32p]
 _lib.pir_alloc_populated.restype = ctypes.c_void_p
@@ -188,6 +199,53 @@ def assemble_rows(mat, enc_rows, reverse_order, reverse_h, hrows, b, *, filt=Non
     return mat
 
 
+def encode_assemble_rows16(
+    digests: np.ndarray,
+    values: list[bytes],
+    key_index: np.ndarray,
+    reverse_order: np.ndarray,
+    reverse_h: np.ndarray,
+    b: int,
+    cols: int,
+    num_fp: int,
+    arity: int,
+    seg_len: int,
+    seg_cnt_len: int,
+) -> np.ndarray:
+    """Fused encode + reverse-peel assembly -> (num_fp, cols) uint16 matrix D.
+
+    digests/values are in original key order; key_index maps peel position
+    to original row. Skips the GB-scale encoded-rows intermediate of the
+    separate encode_rows/assemble_rows pair, and reads each value straight
+    from its Python bytes object (no GB-scale join)."""
+    digests = np.ascontiguousarray(digests, np.uint8)
+    n = digests.shape[0]
+    # c_char_p conversion borrows each bytes object's buffer — zero copy
+    value_ptrs = (ctypes.c_char_p * n)(*values)
+    value_lens = np.fromiter((len(v) for v in values), np.int64, count=n)
+    ki = np.ascontiguousarray(key_index, np.int64)
+    ro = np.ascontiguousarray(reverse_order, np.uint64)
+    rh = np.ascontiguousarray(reverse_h, np.uint8)
+    mat = alloc_array((num_fp, cols), np.uint16)
+    _lib.encode_assemble_rows16(
+        _ptr(digests, _u8p), value_ptrs, _ptr(value_lens, _i64p),
+        _ptr(ki, _i64p), _ptr(ro, _u64p), _ptr(rh, _u8p),
+        n, b, cols, arity, seg_len, seg_cnt_len, _ptr(mat, _u16p),
+    )
+    return mat
+
+
+def chacha8_ternary(entropy32: bytes, n: int) -> np.ndarray:
+    """(n,) int8 uniform ternary codes {0,1,2} from a ChaCha8 CSPRNG keyed
+    with 32 bytes of caller-supplied (OS) entropy."""
+    key = np.frombuffer(entropy32, np.uint8)
+    if key.size != 32:
+        raise ValueError("chacha8_ternary needs exactly 32 bytes of entropy")
+    out = np.empty(n, np.int8)
+    _lib.chacha8_ternary(_ptr(key, _u8p), n, _ptr(out, _i8p))
+    return out
+
+
 def ternary_matvec(codes: np.ndarray, mat: np.ndarray) -> np.ndarray:
     codes = np.ascontiguousarray(codes, np.int8)
     mat = np.ascontiguousarray(mat, np.uint32)
@@ -205,19 +263,25 @@ def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:
 
 def build_packed_planes(mat: np.ndarray, m_pad: int, c_pad: int, pack: int, bits: int):
     """One-pass construction of (lo, hi_packed) host planes for the Pallas
-    respond layout; hi is None when pack == 0."""
-    mat = np.ascontiguousarray(mat, np.uint32)
+    respond layout; hi is None when pack == 0. Accepts the uint16 D matrix
+    (the storage format) or uint32 (legacy/tests)."""
+    if mat.dtype == np.uint16:
+        mat = np.ascontiguousarray(mat)
+        fn, ptr_t = _lib.build_packed_planes16, _u16p
+    else:
+        mat = np.ascontiguousarray(mat, np.uint32)
+        fn, ptr_t = _lib.build_packed_planes, _u32p
     m, c = mat.shape
     lo = alloc_array((m_pad, c_pad), np.int8)
     if pack == 0:
-        _lib.build_packed_planes(
-            _ptr(mat, _u32p), m, c, m_pad, c_pad, _ptr(lo, _i8p),
+        fn(
+            _ptr(mat, ptr_t), m, c, m_pad, c_pad, _ptr(lo, _i8p),
             ctypes.cast(None, _u8p), 0, 0,
         )
         return lo, None
     pc = c_pad // pack if pack > 1 else c_pad
     hi = alloc_array((m_pad, pc), np.uint8)
-    _lib.build_packed_planes(
-        _ptr(mat, _u32p), m, c, m_pad, c_pad, _ptr(lo, _i8p), _ptr(hi, _u8p), pack, bits
+    fn(
+        _ptr(mat, ptr_t), m, c, m_pad, c_pad, _ptr(lo, _i8p), _ptr(hi, _u8p), pack, bits
     )
     return lo, hi

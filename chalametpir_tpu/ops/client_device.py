@@ -1,0 +1,151 @@
+"""Device-resident client query engine: s . A on the MXU.
+
+The client's dominant costs are (a) expanding the 32-byte seed into the
+(1774, m) public LWE matrix A (~8.4 GB at the 2^20 headline config) and
+(b) the per-query ternary matvec s . A. The reference does both on a
+many-core CPU (reference: chalametpir_client/src/client.rs:39-57,
+client.rs:106 + matrix.rs:541-558, 1031-1059); this host has one weak
+core, and a TPU sitting right there.
+
+TPU design:
+
+* A is stored as four biased int8 byte planes, planes[j] = ((A >> 8j)
+  & 255) - 128, shape (4, k, m) — same 4 B/element footprint as uint32,
+  but each plane is a native MXU operand.
+* In "ctr" PRG mode the planes are *generated on device* (Pallas Keccak,
+  ops/prg_jax.py) — client setup never ships A over the host link. In
+  "stream" mode (reference-interop) A is squeezed by the host XOF and
+  uploaded once.
+* A query computes all four plane dots as one batched einsum
+  (4, 1, k) x (4, k, m) -> (4, 1, m) and recombines mod 2^32 with the
+  bias correction 128 * sum(s) per plane:
+      s . A = sum_j (s . plane_j + 128 * sum(s)) << 8j   (mod 2^32)
+  Exactness: each dot is int8 x int8 -> int32 with k <= 1774 terms, so
+  |partial| <= 1774 * 128 * 128 < 2^25 — no int32 overflow before the
+  mod-2^32 wrap (which is the arithmetic we want).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..params import LWE_DIMENSION
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+def _recode_planes_jnp(slab_u32):
+    """(r, m) uint32 -> (4, r, m) int8 biased byte planes, on device."""
+    import jax.numpy as jnp
+
+    planes = []
+    for j in range(4):
+        p = (slab_u32 >> np.uint32(8 * j)) & np.uint32(255)
+        planes.append((p.astype(jnp.int32) - 128).astype(jnp.int8))
+    return jnp.stack(planes)
+
+
+class DeviceQueryEngine:
+    """Holds the A byte planes in HBM and runs s . A per query."""
+
+    def __init__(self, planes, k: int, m: int):
+        self._planes = planes  # (4, k, m) int8
+        self.k = k
+        self.m = m
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_seed_ctr(cls, seed: bytes, m: int, rows_per_step: int = 128) -> "DeviceQueryEngine":
+        """Generate A's planes entirely on device (ctr PRG mode)."""
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+        jax = _jax()
+        import jax.numpy as jnp
+
+        from . import prg_jax
+
+        k = LWE_DIMENSION
+        seed_words = prg_jax.seed_to_words(seed)
+        n_steps = -(-k // rows_per_step)
+        k_pad = n_steps * rows_per_step
+
+        gen = jax.jit(
+            lambda blk0_words, offset: _recode_planes_jnp(
+                prg_jax.rows_from_blocks(seed_words, blk0_words, offset, rows_per_step, m)
+            )
+        )
+
+        @partial(jax.jit, donate_argnums=0)
+        def write(buf, slab_planes, r0):
+            return jax.lax.dynamic_update_slice(buf, slab_planes, (0, r0, jnp.int32(0)))
+
+        buf = jnp.zeros((4, k_pad, m), jnp.int8)
+        for r0 in range(0, k, rows_per_step):
+            word0 = r0 * m
+            blk0 = (word0 * 4) // prg_jax.RATE
+            blk0_words = jnp.asarray(np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32))
+            slab = gen(blk0_words, jnp.int32(word0 - blk0 * (prg_jax.RATE // 4)))
+            buf = write(buf, slab, jnp.int32(r0))
+        # zero-pad rows beyond k: their biased value -128 would corrupt the
+        # bias correction, so slice back to the logical k
+        return cls(buf[:, :k, :], k, m)
+
+    @classmethod
+    def from_host_matrix(cls, a_host: np.ndarray) -> "DeviceQueryEngine":
+        """Upload a host-expanded A (stream PRG mode / interop)."""
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+        jax = _jax()
+
+        k, m = a_host.shape
+        planes_host = np.empty((4, k, m), np.int8)
+        for j in range(4):
+            p = (a_host >> np.uint32(8 * j)).astype(np.uint8)
+            planes_host[j] = (p.astype(np.int16) - 128).astype(np.int8)
+        return cls(jax.device_put(planes_host), k, m)
+
+    # -- query ---------------------------------------------------------------
+
+    def matvec(self, codes: np.ndarray) -> np.ndarray:
+        """(k,) int8 ternary codes {0:0, 1:+1, 2:-1} -> (m,) uint32 s . A."""
+        jax = _jax()
+
+        signs = np.where(codes == 2, -1, codes).astype(np.int8)
+        out = _ternary_planes_matvec(jax.device_put(signs), self._planes)
+        return np.asarray(out).astype(np.uint32)
+
+
+def _ternary_planes_matvec_impl(signs, planes):
+    import jax.numpy as jnp
+
+    k = signs.shape[0]
+    s_mat = jnp.broadcast_to(signs[None, None, :], (4, 1, k))
+    dots = jnp.einsum(
+        "bik,bkm->bim", s_mat, planes, preferred_element_type=jnp.int32
+    )  # (4, 1, m)
+    s_sum = jnp.sum(signs.astype(jnp.int32))
+    acc = jnp.zeros(dots.shape[-1], jnp.uint32)
+    for j in range(4):
+        term = (dots[j, 0] + 128 * s_sum).astype(jnp.uint32)
+        acc = acc + (term << np.uint32(8 * j))
+    return acc
+
+
+_jitted_matvec = None
+
+
+def _ternary_planes_matvec(signs, planes):
+    # jit lazily so importing this module never initialises a device
+    global _jitted_matvec
+    if _jitted_matvec is None:
+        _jitted_matvec = _jax().jit(_ternary_planes_matvec_impl)
+    return _jitted_matvec(signs, planes)

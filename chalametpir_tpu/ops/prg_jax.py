@@ -141,7 +141,7 @@ def seed_to_words(seed: bytes) -> jnp.ndarray:
 _TILE = 2048  # ctr blocks per grid step; state = 50 x (16,128) u32 vregs
 
 
-def _ctr_keccak_kernel(seed_ref, blk0_ref, out_ref):
+def _ctr_keccak_kernel(rc_ref, seed_ref, blk0_ref, out_ref):
     import jax.experimental.pallas as pl
 
     shape = (_TILE // 128, 128)
@@ -168,8 +168,15 @@ def _ctr_keccak_kernel(seed_ref, blk0_ref, out_ref):
     lo[5] = jnp.full(shape, np.uint32(0x1F), _U32)
     hi[20] = jnp.full(shape, np.uint32(0x80000000), _U32)
 
-    for rc in KECCAK_RC[12:]:
-        lo, hi = _round(lo, hi, np.uint32(rc & 0xFFFFFFFF), np.uint32(rc >> 32))
+    # one round per loop step (round constants indexed from SMEM): a fully
+    # unrolled permutation is ~12x the Mosaic program and takes minutes to
+    # compile for zero measured runtime win
+    def round_body(r, state):
+        lo, hi = state
+        lo, hi = _round(list(lo), list(hi), rc_ref[r, 0], rc_ref[r, 1])
+        return tuple(lo), tuple(hi)
+
+    lo, hi = jax.lax.fori_loop(0, 12, round_body, (tuple(lo), tuple(hi)))
 
     for lane in range(RATE // 8):
         out_ref[2 * lane, :, :] = lo[lane]
@@ -191,11 +198,12 @@ def ctr_blocks_pallas(seed_words, blk0_words, nblocks: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((42, rows, 128), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((42, grid_n * rows, 128), _U32),
         interpret=jax.default_backend() == "cpu",
-    )(seed_words, blk0_words)
+    )(jnp.asarray(_RC12), seed_words, blk0_words)
     # (42, G*rows, 128) -> block-major (nblocks, 42)
     words = jnp.swapaxes(out.reshape(42, grid_n * _TILE), 0, 1)
     return words

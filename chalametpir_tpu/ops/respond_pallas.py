@@ -56,8 +56,18 @@ class PallasDB:
         return self.lo.size + (self.hi.size if self.hi is not None else 0)
 
 
-def build_pallas_db(mat: np.ndarray, mat_elem_bit_len: int, tile_k: int = DEFAULT_TILE_K) -> PallasDB:
-    """(m, c) uint32 encoded DB -> packed device planes."""
+def build_pallas_db(
+    mat: np.ndarray,
+    mat_elem_bit_len: int,
+    tile_k: int = DEFAULT_TILE_K,
+    chunk_rows: int = 1 << 17,
+) -> PallasDB:
+    """(m, c) uint16/uint32 encoded DB -> packed device planes.
+
+    Packing and upload are pipelined in row chunks: device_put dispatches
+    asynchronously, so the tunnel drains chunk i while the host packs
+    chunk i+1 — at GB scale the host link, not the pack pass, is the
+    bottleneck."""
     try:
         from ..native import engine as _native
     except Exception:  # pragma: no cover - native build unavailable
@@ -70,27 +80,45 @@ def build_pallas_db(mat: np.ndarray, mat_elem_bit_len: int, tile_k: int = DEFAUL
     pack = hi_pack_factor(mat_elem_bit_len) if hb > 0 else 0
     bits = (8 // pack if pack > 1 else 8) if pack else 0
 
-    if _native is not None:
-        lo_host, hi_host = _native.build_packed_planes(mat, m_pad, c_pad, pack, bits)
-    else:
-        lo_host = np.zeros((m_pad, c_pad), np.int8)
-        lo_host[:m, :c] = ((mat & np.uint32(255)).astype(np.int16) - 128).astype(np.int8)
-        # padded rows must contribute zero against *zero-padded query
-        # digits*; any value works, 0 keeps it simple
-        hi_host = None
+    chunk_rows = _round_up(chunk_rows, tile_k)
+    lo_chunks, hi_chunks = [], []
+    for r0 in range(0, m_pad, chunk_rows):
+        rows_pad = min(chunk_rows, m_pad - r0)
+        rows = max(0, min(rows_pad, m - r0))
+        sub = mat[r0 : r0 + rows]
+        if _native is not None and rows > 0:
+            lo_host, hi_host = _native.build_packed_planes(sub, rows_pad, c_pad, pack, bits)
+        else:
+            lo_host = np.zeros((rows_pad, c_pad), np.int8)
+            # padded rows must contribute zero against *zero-padded query
+            # digits*; any value works, 0 keeps it simple
+            lo_host[:rows, :c] = ((sub & np.uint16(255)).astype(np.int16) - 128).astype(np.int8)
+            hi_host = None
+            if hb > 0:
+                pc = c_pad // pack if pack > 1 else c_pad
+                hi_full = np.zeros((rows_pad, c_pad), np.uint8)
+                hi_full[:rows, :c] = (sub >> 8).astype(np.uint8)
+                if pack == 1:
+                    hi_host = hi_full
+                else:
+                    # block interleave: field j of word t <- logical col j*pc+t
+                    hi_host = np.zeros((rows_pad, pc), np.uint8)
+                    for j in range(pack):
+                        hi_host |= hi_full[:, j * pc : (j + 1) * pc] << np.uint8(bits * j)
+        lo_chunks.append(jax.device_put(lo_host))
         if hb > 0:
-            pc = c_pad // pack if pack > 1 else c_pad
-            hi_full = np.zeros((m_pad, c_pad), np.uint8)
-            hi_full[:m, :c] = (mat >> np.uint32(8)).astype(np.uint8)
-            if pack == 1:
-                hi_host = hi_full
-            else:
-                # block interleave: field j of word t <- logical col j*pc + t
-                hi_host = np.zeros((m_pad, pc), np.uint8)
-                for j in range(pack):
-                    hi_host |= hi_full[:, j * pc : (j + 1) * pc] << np.uint8(bits * j)
-    hi_dev = jax.device_put(hi_host) if hi_host is not None else None
-    return PallasDB(jax.device_put(lo_host), hi_dev, mat_elem_bit_len, m, c, tile_k)
+            if hi_host is None:  # native pack==0 path never lands here
+                pc = c_pad // pack if pack > 1 else c_pad
+                hi_host = np.zeros((rows_pad, pc), np.uint8)
+            hi_chunks.append(jax.device_put(hi_host))
+
+    import jax.numpy as jnp
+
+    lo_dev = lo_chunks[0] if len(lo_chunks) == 1 else jnp.concatenate(lo_chunks, axis=0)
+    hi_dev = None
+    if hi_chunks:
+        hi_dev = hi_chunks[0] if len(hi_chunks) == 1 else jnp.concatenate(hi_chunks, axis=0)
+    return PallasDB(lo_dev, hi_dev, mat_elem_bit_len, m, c, tile_k)
 
 
 def _kernel_with_hi(pack: int, bits: int, qd_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):

@@ -47,22 +47,12 @@ def main():
 
     cols = codec.encoded_row_width(VALUE_LEN, bit_len)
     digest_bytes = np.ascontiguousarray(digests).view(np.uint8).reshape(n, 32)
-    db_perm = digest_bytes[key_index]
-    values_in_peel_order = [values[i] for i in key_index]
-    t0 = tick("permute", t0)
 
-    enc = native.encode_rows(db_perm, values_in_peel_order, bit_len, cols)
-    t0 = tick(f"encode_rows ({enc.nbytes/1e9:.2f} GB out)", t0)
-
-    mat = native.alloc_array((filt.num_fingerprints, cols), np.uint32)
-    t0 = tick(f"alloc D ({mat.nbytes/1e9:.2f} GB)", t0)
-
-    native.assemble_rows(
-        mat, enc, reverse_order, reverse_h, None, bit_len,
-        arity=filt.arity, seg_len=filt.segment_length, seg_cnt_len=filt.segment_count_length,
+    mat = native.encode_assemble_rows16(
+        digest_bytes, values, key_index, reverse_order, reverse_h, bit_len, cols,
+        filt.num_fingerprints, filt.arity, filt.segment_length, filt.segment_count_length,
     )
-    t0 = tick("assemble_rows", t0)
-    del enc
+    t0 = tick(f"encode_assemble_rows16 fused ({mat.nbytes/1e9:.2f} GB D)", t0)
 
     # device phases
     import jax

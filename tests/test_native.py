@@ -82,3 +82,58 @@ def test_construct_filter_uses_native(rng):
     filt, reverse_order, reverse_h, key_index = construct_filter(digests, 3, 10, 100, rng)
     fused = hashing.mix256(digests, filt.seed)
     assert np.array_equal(fused[key_index], reverse_order)
+
+
+@pytest.mark.parametrize("arity", [3, 4])
+def test_encode_assemble_fused_matches_separate(arity, rng):
+    # the fused uint16 encode+assemble must equal the two-step uint32 path
+    n, b = 400, 11
+    keys = [rng.bytes(int(rng.integers(16, 33))) for _ in range(n)]
+    values = [rng.bytes(int(rng.integers(1, 80))) for _ in range(n)]
+    digests = hashing.hash_of_keys_batch(keys)
+    filt, reverse_order, reverse_h, key_index = construct_filter(digests, arity, b, 100, rng)
+    from chalametpir_tpu.core import codec
+
+    cols = codec.encoded_row_width(max(len(v) for v in values), b)
+    digest_bytes = np.ascontiguousarray(digests).view(np.uint8).reshape(n, 32)
+
+    enc = native.encode_rows(
+        digest_bytes[key_index], [values[i] for i in key_index], b, cols
+    )
+    mat32 = np.zeros((filt.num_fingerprints, cols), np.uint32)
+    native.assemble_rows(
+        mat32, enc, reverse_order, reverse_h, None, b,
+        arity=arity, seg_len=filt.segment_length, seg_cnt_len=filt.segment_count_length,
+    )
+
+    mat16 = native.encode_assemble_rows16(
+        digest_bytes, values, key_index, reverse_order, reverse_h, b, cols,
+        filt.num_fingerprints, arity, filt.segment_length, filt.segment_count_length,
+    )
+    assert mat16.dtype == np.uint16
+    assert np.array_equal(mat16, mat32.astype(np.uint16))
+
+
+def test_chacha8_ternary_uniform_and_keyed():
+    ent = bytes(range(32))
+    a = native.chacha8_ternary(ent, 100_000)
+    b = native.chacha8_ternary(ent, 100_000)
+    assert np.array_equal(a, b)  # deterministic per key
+    c = native.chacha8_ternary(bytes(32), 100_000)
+    assert not np.array_equal(a, c)  # key actually matters
+    assert set(np.unique(a).tolist()) == {0, 1, 2}
+    counts = np.bincount(a, minlength=3) / a.size
+    assert np.allclose(counts, 1 / 3, atol=0.01)  # ~uniform
+
+
+def test_chacha8_block_known_vector():
+    # djb's ChaCha8 test vector: 256-bit zero key, 64-bit zero IV,
+    # keystream block 0 — the sampler's %3 map over those words must match.
+    ks_hex = (
+        "3E00EF2F895F40D67F5BB8E81F09A5A12C840EC3CE9A7F3B181BE188EF711A1E"
+        "984CE172B9216F419F445367456D5619314A42A3DA86B001387BFDB80E0CFE42"
+    )
+    words = np.frombuffer(bytes.fromhex(ks_hex), "<u4")
+    limit = 0xFFFFFFFF - (0xFFFFFFFF % 3)
+    expected = [int(v) % 3 for v in words if int(v) < limit][:16]
+    assert native.chacha8_ternary(bytes(32), 16).tolist() == expected

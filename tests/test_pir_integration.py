@@ -120,3 +120,22 @@ def test_interop_artifact_sizes(rng):
     assert len(q) == 8 + 4 * server.num_query_cols
     r = server.respond(q)
     assert len(r) == 8 + 4 * server.num_response_cols
+
+
+def test_client_secret_sampler_is_csprng():
+    # the LWE secret must come from OS-entropy-keyed ChaCha (or raw OS
+    # entropy), never a statistical RNG — guard the module against
+    # regressions to np.random for the secret path
+    import inspect
+
+    import chalametpir_tpu.models.client as client_mod
+
+    src = inspect.getsource(client_mod)
+    assert "default_rng" not in src
+
+    a = client_mod.Client._sample_ternary(50_000)
+    b = client_mod.Client._sample_ternary(50_000)
+    assert not np.array_equal(a, b)  # fresh entropy per call
+    assert set(np.unique(a).tolist()) <= {0, 1, 2}
+    counts = np.bincount(a, minlength=3) / a.size
+    assert np.allclose(counts, 1 / 3, atol=0.02)
