@@ -1,20 +1,30 @@
 """Benchmark harness: reproduces the reference's divan config on TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Emits JSON lines to stdout. Every line is a complete, valid record for
+the headline metric (server_respond DB-scan bandwidth at 2^20 x 32 B
+keys x 1 kB values, arity 3 — reference README.md:60-62, baseline
+102.51 GB/s on m8g.8xlarge); later lines are supersets of earlier ones
+(client metrics, then the 2^16/2^18 x arity {3,4} divan matrix). A
+timeout therefore can only truncate detail, never zero the artifact.
 
-Headline metric: server_respond effective DB-scan bandwidth at the
-reference's headline config (2^20 entries x 32 B keys x 1 kB values,
-arity-3 filter), using the reference's own convention — bytes of *its*
-bit-pack-compressed DB divided by respond latency (reference
-README.md:60-62; baseline 102.51 GB/s on m8g.8xlarge).
+Timing notes for this environment: the device queue acks before
+completion and d2h readbacks carry a large constant dispatch latency, so
+per-call wall timing lies in both directions. Respond is measured as the
+slope of k chained scans inside one jit (each iteration's query depends
+on the previous response, so XLA can neither hoist nor parallelise the
+scans) — constant overheads cancel exactly. The host<->device tunnel
+here moves ~0.03 GB/s (a tunnel artifact, not TPU DMA), which bounds
+setup's DB upload and the e2e serialized path.
 
 Env knobs:
-  PIR_BENCH_LOG_N      log2 of DB entries (default 20)
+  PIR_BENCH_LOG_N      log2 of headline DB entries (default 20)
   PIR_BENCH_ARITY      3 or 4 (default 3)
   PIR_BENCH_VALUE_LEN  value bytes (default 1024)
   PIR_BENCH_BATCH      batched-respond size (default 64)
-  PIR_BENCH_ITERS      respond timing iterations (default 20)
+  PIR_BENCH_BUDGET_S   wall budget; matrix configs are skipped when the
+                       remaining budget cannot fit them (default 380)
+  PIR_BENCH_MATRIX     "0" disables the small-config matrix
+  PIR_BENCH_PRG        "ctr" (default, TPU-native) or "stream" (interop)
 """
 
 from __future__ import annotations
@@ -30,17 +40,20 @@ LOG_N = int(os.environ.get("PIR_BENCH_LOG_N", "20"))
 ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
 VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
 BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
-ITERS = int(os.environ.get("PIR_BENCH_ITERS", "20"))
-# "ctr" = TPU-native parallel PRG (A generated on-device); "stream" =
-# reference-interop serial XOF. The headline respond metric is identical
-# in both; setup/client times are reported for the chosen mode.
+BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "380"))
+RUN_MATRIX = os.environ.get("PIR_BENCH_MATRIX", "1") not in ("0", "")
 PRG_MODE = os.environ.get("PIR_BENCH_PRG", "ctr")
 
 BASELINE_RESPOND_GBPS = 102.51  # m8g.8xlarge, README.md:60-61
+T_START = time.perf_counter()
 
 
 def log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[bench +{time.perf_counter()-T_START:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def left() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
 
 
 def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, bytes]:
@@ -56,35 +69,116 @@ def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, by
     return db
 
 
-def main() -> None:
+def make_respond_chain(server):
+    """jit'd k-chained respond scan; returns (chain_fn, scan_seconds)."""
     import jax
+    import jax.numpy as jnp
+
+    from chalametpir_tpu.ops import respond as respond_ops
+
+    if server._layout == "packed":
+        from chalametpir_tpu.ops.respond_pallas import respond_batch_packed
+
+        _respond = lambda q: respond_batch_packed(q, server._planes)  # noqa: E731
+    else:
+        d0, d1 = server._planes
+        _respond = lambda q: respond_ops.respond_batch(q, d0, d1)  # noqa: E731
+
+    # k is a runtime value (while-loop trip count): ONE compile per batch
+    # size regardless of how many k points we measure
+    @jax.jit
+    def respond_chain(q, k):
+        def body(i, q):
+            out = _respond(q)
+            return q ^ jnp.max(out)
+
+        return jnp.max(jax.lax.fori_loop(0, k, body, q))
+
+    def scan_seconds(queries, nq, k_lo=4, k_hi=24, reps=3):
+        q_dev = jax.device_put(np.resize(queries, (nq, queries.shape[1])))
+        float(np.asarray(respond_chain(q_dev, 1)))  # compile+warm
+        out = {}
+        for k in (k_lo, k_hi):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(np.asarray(respond_chain(q_dev, k)))
+                best = min(best, time.perf_counter() - t0)
+            out[k] = best
+        return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
+
+    return scan_seconds
+
+
+def run_config(log_n, arity, value_len, rng, batch=None, emit=None):
+    """Run one divan config; returns a metrics dict. `emit(partial)` is
+    called as soon as the respond scan number exists."""
+    import jax  # noqa: F401
 
     from chalametpir_tpu import Client, Server
     from chalametpir_tpu.core import matrix_io
     from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
-    from chalametpir_tpu.ops import respond as respond_ops
 
-    n = 1 << LOG_N
-    rng = np.random.default_rng(0xBEEF)
-    log(f"[bench] backend={jax.default_backend()} n=2^{LOG_N} arity={ARITY} value={VALUE_LEN}B")
+    n = 1 << log_n
+    rec = {"config": f"2^{log_n}x{value_len}B arity{arity} prg={PRG_MODE}"}
 
     t0 = time.perf_counter()
-    db = build_db(n, VALUE_LEN, rng)
-    log(f"[bench] db built in {time.perf_counter()-t0:.1f}s")
+    db = build_db(n, value_len, rng)
+    log(f"2^{log_n} a{arity}: db built in {time.perf_counter()-t0:.1f}s")
 
     seed = rng.bytes(32)
     t0 = time.perf_counter()
-    server, hint_bytes, filter_param_bytes = Server.setup(seed, db, arity=ARITY, prg_mode=PRG_MODE, rng=rng)
-    t_setup = time.perf_counter() - t0
-    log(f"[bench] server_setup {t_setup:.2f}s (b={server.mat_elem_bit_len})")
+    server, hint_bytes, filter_param_bytes = Server.setup(
+        seed, db, arity=arity, prg_mode=PRG_MODE, rng=rng
+    )
+    rec["server_setup_s"] = round(time.perf_counter() - t0, 2)
+    rec["b"] = server.mat_elem_bit_len
+    log(f"2^{log_n} a{arity}: server_setup {rec['server_setup_s']}s (b={server.mat_elem_bit_len})")
 
+    # --- respond scan (the headline): measured before any client work so a
+    # timeout can never eat it. Uses synthetic uniform queries — the scan
+    # is input-independent integer work, asserted exact vs oracle in tests.
+    q_rng = np.random.default_rng(0xD15C)
+    queries = q_rng.integers(0, 1 << 32, size=(1, server.num_query_cols), dtype=np.uint32)
+    if server._backend == "jax":
+        scan_seconds = make_respond_chain(server)
+        t_respond = scan_seconds(queries, 1)
+        batch = batch or BATCH
+        t_respond_batch_per_q = scan_seconds(queries, batch) / batch
+    else:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            server.respond_batch(queries[:1])
+            times.append(time.perf_counter() - t0)
+        t_respond = float(np.median(times))
+        t_respond_batch_per_q = t_respond
+        batch = batch or 1
+
+    cf = matrix_io.compression_factor(server.mat_elem_bit_len)
+    ref_db_bytes = server.num_query_cols * (-(-server.num_response_cols // cf)) * 4
+    scan_gbps = ref_db_bytes / t_respond / 1e9
+    rec.update(
+        server_respond_ms=round(t_respond * 1e3, 3),
+        server_respond_batch_per_query_ms=round(t_respond_batch_per_q * 1e3, 4),
+        respond_scan_GBps=round(scan_gbps, 2),
+        respond_batch_scan_GBps=round(ref_db_bytes / t_respond_batch_per_q / 1e9, 2),
+    )
+    log(
+        f"2^{log_n} a{arity}: respond {t_respond*1e3:.3f} ms single "
+        f"({scan_gbps:.1f} GB/s), {t_respond_batch_per_q*1e3:.4f} ms/q batched x{batch}"
+    )
+    if emit is not None:
+        emit(rec)
+
+    # --- client phases
     t0 = time.perf_counter()
     client = Client.setup(seed, hint_bytes, filter_param_bytes, prg_mode=PRG_MODE)
-    t_client_setup = time.perf_counter() - t0
-    log(f"[bench] client_setup {t_client_setup:.2f}s")
+    rec["client_setup_s"] = round(time.perf_counter() - t0, 2)
+    rec["client_on_device"] = client.uses_device
+    log(f"2^{log_n} a{arity}: client_setup {rec['client_setup_s']}s (device={client.uses_device})")
 
-    keys = list(db.keys())[:8]  # enough for a query-latency median; the
-    # batched respond timing tiles these (int-dot time is value-independent)
+    keys = list(db.keys())[:8]
     t0 = time.perf_counter()
     queries_bytes = []
     for key in keys:
@@ -94,103 +188,73 @@ def main() -> None:
                 break
             except ArithmeticOverflowAddingQueryIndicator:
                 pass
-    t_query = (time.perf_counter() - t0) / len(keys)
-    log(f"[bench] client_query {t_query*1e3:.1f} ms/query")
+    rec["client_query_ms"] = round((time.perf_counter() - t0) / len(keys) * 1e3, 2)
+    log(f"2^{log_n} a{arity}: client_query {rec['client_query_ms']} ms/query")
 
-    queries = np.stack([matrix_io.matrix_from_bytes(qb)[0] for qb in queries_bytes])
-
-    # --- respond: single query, device-resident (the reference times the
-    # in-process matvec; host<->device copies here are tunnel artifacts).
-    #
-    # Timing methodology: this environment's device queue acks before
-    # completion and any d2h readback adds a large constant dispatch
-    # latency, so per-call wall timing lies in both directions. Instead we
-    # run k chained respond scans inside one jit (each query XOR-depends
-    # on the previous response, so XLA can neither hoist nor distribute
-    # the dot) and take the slope between two k values — constant
-    # overheads cancel exactly.
-    if server._backend == "jax":
-        import jax.numpy as jnp
-
-        if server._layout == "packed":
-            from chalametpir_tpu.ops.respond_pallas import respond_batch_packed
-
-            _respond = lambda q: respond_batch_packed(q, server._planes)  # noqa: E731
-        else:
-            d0, d1 = server._planes
-            _respond = lambda q: respond_ops.respond_batch(q, d0, d1)  # noqa: E731
-
-        # k is a runtime value (while-loop trip count): ONE compile per
-        # batch size regardless of how many k points we measure
-        @jax.jit
-        def respond_chain(q, k):
-            def body(i, q):
-                out = _respond(q)
-                return q ^ jnp.max(out)
-            return jnp.max(jax.lax.fori_loop(0, k, body, q))
-
-        def scan_seconds(nq, k_lo=4, k_hi=24, reps=3):
-            q_dev = jax.device_put(np.resize(queries, (nq, queries.shape[1])))
-            float(np.asarray(respond_chain(q_dev, 1)))  # compile+warm
-            log(f"[bench] respond chain (Q={nq}) compiled")
-            out = {}
-            for k in (k_lo, k_hi):
-                best = float("inf")
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    float(np.asarray(respond_chain(q_dev, k)))
-                    best = min(best, time.perf_counter() - t0)
-                out[k] = best
-            return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
-
-        t_respond = scan_seconds(1)
-        log(f"[bench] single-query scan {t_respond*1e3:.3f} ms")
-        t_respond_batch_per_q = scan_seconds(BATCH) / BATCH
-    else:
-        times = []
-        for _ in range(max(3, ITERS // 4)):
-            t0 = time.perf_counter()
-            server.respond_batch(queries[:1])
-            times.append(time.perf_counter() - t0)
-        t_respond = float(np.median(times))
-        t_respond_batch_per_q = t_respond
-
-    # end-to-end serialized path (includes tunnel transfers)
+    # end-to-end serialized path (includes tunnel transfers both ways)
     t0 = time.perf_counter()
     response_bytes = server.respond(queries_bytes[0])
-    t_respond_e2e = time.perf_counter() - t0
+    rec["server_respond_e2e_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
 
     t0 = time.perf_counter()
     value = client.process_response(keys[0], response_bytes)
-    t_process = time.perf_counter() - t0
+    rec["client_process_response_us"] = round((time.perf_counter() - t0) * 1e6, 1)
     assert value == db[keys[0]], "retrieval mismatch!"
     log(
-        f"[bench] respond {t_respond*1e3:.3f} ms (batch/query {t_respond_batch_per_q*1e3:.3f} ms, "
-        f"e2e {t_respond_e2e*1e3:.1f} ms), process_response {t_process*1e6:.1f} us"
+        f"2^{log_n} a{arity}: e2e {rec['server_respond_e2e_ms']} ms, "
+        f"process_response {rec['client_process_response_us']} us"
     )
+    return rec
 
-    # reference-equivalent compressed-DB bytes (README.md:60-62 convention)
-    m = server.num_query_cols
-    cols = server.num_response_cols
-    cf = matrix_io.compression_factor(server.mat_elem_bit_len)
-    ref_db_bytes = m * (-(-cols // cf)) * 4
-    scan_gbps = ref_db_bytes / t_respond / 1e9
+
+def main() -> None:
+    from chalametpir_tpu.utils import compile_cache, telemetry
+
+    telemetry.set_trace(True)  # phase spans on stderr
+    compile_cache.enable_compile_cache()
+    import jax
+
+    rng = np.random.default_rng(0xBEEF)
+    log(f"backend={jax.default_backend()} headline=2^{LOG_N} arity{ARITY} {VALUE_LEN}B budget={BUDGET_S}s")
 
     result = {
         "metric": "server_respond_db_scan_GBps",
-        "value": round(scan_gbps, 2),
+        "value": None,
         "unit": "GB/s",
-        "vs_baseline": round(scan_gbps / BASELINE_RESPOND_GBPS, 3),
-        "config": f"2^{LOG_N}x{VALUE_LEN}B arity{ARITY} b={server.mat_elem_bit_len} prg={PRG_MODE}",
-        "server_setup_s": round(t_setup, 2),
-        "client_setup_s": round(t_client_setup, 2),
-        "client_query_ms": round(t_query * 1e3, 2),
-        "server_respond_ms": round(t_respond * 1e3, 3),
-        "server_respond_batch_per_query_ms": round(t_respond_batch_per_q * 1e3, 4),
-        "server_respond_e2e_ms": round(t_respond_e2e * 1e3, 2),
-        "client_process_response_us": round(t_process * 1e6, 1),
+        "vs_baseline": None,
     }
-    print(json.dumps(result), flush=True)
+
+    def emit(rec):
+        result["value"] = rec.get("respond_scan_GBps")
+        result["vs_baseline"] = (
+            round(rec["respond_scan_GBps"] / BASELINE_RESPOND_GBPS, 3)
+            if rec.get("respond_scan_GBps")
+            else None
+        )
+        merged = {**result, **{k: v for k, v in rec.items() if k not in result}}
+        result.update(merged)
+        print(json.dumps(merged), flush=True)
+
+    headline = run_config(LOG_N, ARITY, VALUE_LEN, rng, emit=emit)
+    emit(headline)
+
+    if RUN_MATRIX:
+        matrix = []
+        # small-config sweep mirroring integrations/benches/offline_phase.rs:40-57
+        for log_n, arity in ((16, 3), (16, 4), (18, 3), (18, 4)):
+            # generous per-config floor: ~2^18 takes ~30 s warm
+            need = 25 if log_n == 16 else 70
+            if left() < need:
+                log(f"matrix: skipping 2^{log_n} a{arity} (budget)")
+                matrix.append({"config": f"2^{log_n} arity{arity}", "skipped": "budget"})
+                continue
+            try:
+                matrix.append(run_config(log_n, arity, VALUE_LEN, rng, batch=16))
+            except Exception as e:  # keep the artifact even if a config dies
+                log(f"matrix: 2^{log_n} a{arity} failed: {e!r}")
+                matrix.append({"config": f"2^{log_n} arity{arity}", "error": repr(e)})
+            result["matrix"] = matrix
+            print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

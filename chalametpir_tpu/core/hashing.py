@@ -5,8 +5,7 @@ hash_batch functions (reference:
 chalametpir_common/src/binary_fuse_filter.rs:553-635), implemented over
 numpy uint64 arrays so the whole key set is hashed in a handful of
 vector ops. Scalar Python-int variants are provided where a single
-value is needed. A jnp mirror of `mix64` lives in
-`chalametpir_tpu.ops.masks` for on-device mask generation.
+value is needed.
 """
 
 from __future__ import annotations
@@ -82,7 +81,19 @@ def mix256(hashed_keys: np.ndarray, seed: bytes) -> np.ndarray:
     hk = np.asarray(hashed_keys, np.uint64)
     single = hk.ndim == 1
     if single:
-        hk = hk[None, :]
+        # scalar fast path: the online client calls this once per
+        # query/response and tiny-array numpy costs ~40x more
+        if _native is not None:
+            return np.uint64(_native.mix256_scalar(hk, seed))
+        key_words = [int(w) for w in hk]
+        seed_words = np.frombuffer(seed, dtype="<u8")
+        total = 0
+        for kw in key_words:
+            acc = 0
+            for sw in seed_words:
+                acc = murmur64((acc + murmur64((kw + int(sw)) & _U64MASK)) & _U64MASK)
+            total = (total + acc) & _U64MASK
+        return np.uint64(total)
     seed_words = np.frombuffer(seed, dtype="<u8")
     total = np.zeros(hk.shape[0], np.uint64)
     for j in range(4):

@@ -500,6 +500,63 @@ void ternary_matvec(const int8_t* codes, const uint32_t* mat, int64_t k,
   }
 }
 
+// Scalar mix256: fold a 4-word hashed key with a 32-byte seed
+// (reference: binary_fuse_filter.rs:588-601). The online client calls
+// this once per query/response; the Python-int version costs ~70 us.
+uint64_t mix256_scalar(const uint64_t* key_words, const uint8_t* seed32) {
+  uint64_t seed_words[4];
+  std::memcpy(seed_words, seed32, 32);
+  uint64_t total = 0;
+  for (int j = 0; j < 4; ++j) {
+    uint64_t acc = 0;
+    for (int w = 0; w < 4; ++w)
+      acc = murmur64(acc + murmur64(key_words[j] + seed_words[w]));
+    total += acc;
+  }
+  return total;
+}
+
+// Whole client response post-processing in one call (reference:
+// client.rs:209-275 + serialization.rs:132-184): decrypt (subtract c,
+// round by the query indicator), unmask (murmur), bit-pack the b-bit
+// plaintext elements back into bytes, locate the 0x81 boundary and
+// validate the zero tail. Returns the kv byte length (digest || value)
+// or -1 when the row fails to decode.
+int64_t decrypt_decode_row(const uint32_t* resp, const uint32_t* c,
+                           int64_t cols, int32_t b, uint64_t h,
+                           uint8_t* out) {
+  const uint32_t mask = (1u << b) - 1;
+  const uint32_t delta = static_cast<uint32_t>((1ull << 32) >> b);
+  const uint32_t half = delta / 2;
+  // decrypt + unmask + bit-pack in one pass
+  uint64_t acc = 0;
+  int nbits = 0;
+  int64_t nbytes = 0;
+  const int64_t total_bytes = (cols * b) / 8;  // whole bytes only
+  for (int64_t e = 0; e < cols; ++e) {
+    const uint32_t unscaled = resp[e] - c[e];
+    uint32_t rounded = unscaled / delta + ((unscaled % delta) > half ? 1u : 0u);
+    const uint32_t plain =
+        ((rounded & mask) + static_cast<uint32_t>(
+                                murmur64(h + static_cast<uint64_t>(e)))) & mask;
+    acc |= static_cast<uint64_t>(plain) << nbits;
+    nbits += b;
+    while (nbits >= 8 && nbytes < total_bytes) {
+      out[nbytes++] = static_cast<uint8_t>(acc);
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  // find last 0x81 with an all-zero tail; need > 32 bytes before it
+  int64_t boundary = -1;
+  for (int64_t i = total_bytes - 1; i >= 0; --i) {
+    if (out[i] == 0x81) { boundary = i; break; }
+    if (out[i] != 0) return -1;
+  }
+  if (boundary <= 32) return -1;
+  return boundary;
+}
+
 // murmur64(h + col) & mask for a whole row (response unmask path).
 void mix_row_mask(uint64_t h, int64_t cols, uint32_t mask, uint32_t* out) {
   for (int64_t c = 0; c < cols; ++c)

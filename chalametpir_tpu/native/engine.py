@@ -71,6 +71,12 @@ _lib.build_packed_planes16.argtypes = [
 _lib.chacha8_ternary.argtypes = [_u8p, ctypes.c_int64, _i8p]
 _lib.ternary_matvec.argtypes = [_i8p, _u32p, ctypes.c_int64, ctypes.c_int64, _u32p]
 _lib.mix_row_mask.argtypes = [ctypes.c_uint64, ctypes.c_int64, ctypes.c_uint32, _u32p]
+_lib.mix256_scalar.restype = ctypes.c_uint64
+_lib.mix256_scalar.argtypes = [_u64p, _u8p]
+_lib.decrypt_decode_row.restype = ctypes.c_int64
+_lib.decrypt_decode_row.argtypes = [
+    _u32p, _u32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64, _u8p,
+]
 _lib.pir_alloc_populated.restype = ctypes.c_void_p
 _lib.pir_alloc_populated.argtypes = [ctypes.c_int64]
 _lib.pir_free_populated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -253,6 +259,28 @@ def ternary_matvec(codes: np.ndarray, mat: np.ndarray) -> np.ndarray:
     out = np.empty(m, np.uint32)
     _lib.ternary_matvec(_ptr(codes, _i8p), _ptr(mat, _u32p), k, m, _ptr(out, _u32p))
     return out
+
+
+def mix256_scalar(key_words: np.ndarray, seed: bytes) -> int:
+    """Fold one 4-word hashed key with a 32-byte seed -> fused uint64."""
+    kw = np.ascontiguousarray(key_words, np.uint64)
+    sw = np.frombuffer(seed, np.uint8)
+    return int(_lib.mix256_scalar(_ptr(kw, _u64p), _ptr(sw, _u8p)))
+
+
+def decrypt_decode_row(resp: np.ndarray, vec_c: np.ndarray, b: int, h: int) -> bytes | None:
+    """Full response post-processing (decrypt, unmask, decode, validate);
+    returns the kv bytes (digest || value) or None when not decodable."""
+    resp = np.ascontiguousarray(resp, np.uint32)
+    vec_c = np.ascontiguousarray(vec_c, np.uint32)
+    cols = resp.shape[0]
+    out = np.zeros((cols * b) // 8 + 1, np.uint8)
+    n = _lib.decrypt_decode_row(
+        _ptr(resp, _u32p), _ptr(vec_c, _u32p), cols, b, ctypes.c_uint64(h), _ptr(out, _u8p)
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:
