@@ -46,15 +46,22 @@ class Server:
         num_response_cols: int,
         mat_elem_bit_len: int,
         layout: str = "digit2",
+        mesh=None,
     ):
         self._backend = backend
         # jax/digit2: (d0, d1) int8 device arrays; jax/packed: a PallasDB;
-        # numpy: the raw uint32 D matrix
+        # numpy: the raw uint16 D matrix
         self._planes = planes
         self._layout = layout
         self._num_query_cols = num_query_cols
         self._num_response_cols = num_response_cols
         self.mat_elem_bit_len = mat_elem_bit_len
+        self._mesh = mesh
+        self._sharded_respond = None
+        if mesh is not None:
+            from ..parallel import sharded_respond_packed_fn
+
+            self._sharded_respond = sharded_respond_packed_fn(mesh, planes)
 
     # -- setup ---------------------------------------------------------------
 
@@ -69,6 +76,8 @@ class Server:
         prg_mode: str = "stream",
         hint_block_rows: int | None = None,
         rng: np.random.Generator | None = None,
+        mesh=None,
+        mat_elem_bit_len: int | None = None,
     ) -> tuple["Server", bytes, bytes]:
         """Encode `db`, compute the hint M = A . D, return
         (server, hint_bytes, filter_param_bytes)
@@ -78,7 +87,17 @@ class Server:
         host XOF, wire-compatible with Rust peers); "ctr" derives A in
         independent counter blocks so it is generated *on the TPU* and
         never crosses the host link — both peers must use the same mode
-        (see core/prg.py)."""
+        (see core/prg.py).
+
+        mesh: a jax.sharding.Mesh with ("data", "model") axes. The encoded
+        DB's fingerprint dimension is sharded over `model` (for DBs beyond
+        one chip's HBM, e.g. 2^23 x 1 kB over 8 chips), query batches over
+        `data`; hint partials and responses psum over ICI, exact mod 2^32.
+
+        mat_elem_bit_len overrides the derived element width (expert /
+        test knob — the reference always derives it from the DB size,
+        server.rs:193-218; scaled-down sharding tests use the override to
+        exercise a big-DB geometry on small data)."""
         if len(db) == 0:
             raise EmptyKVDatabase()
         if len(seed) != SEED_BYTE_LEN:
@@ -87,14 +106,16 @@ class Server:
 
         from ..utils import telemetry
 
-        bit_len = find_mat_elem_bit_len(len(db))
+        bit_len = mat_elem_bit_len or find_mat_elem_bit_len(len(db))
         with telemetry.span("server_setup.encode_db", entries=len(db), b=bit_len):
             mat_d, filt = encode_db.from_kv_database(
                 db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
             )
         m, cols = mat_d.shape
 
-        if backend == "numpy":
+        if mesh is not None:
+            server, hint = cls._setup_sharded(seed, mat_d, bit_len, prg_mode, mesh)
+        elif backend == "numpy":
             mat_a = prg.expand_seed(LWE_DIMENSION, m, seed, mode=prg_mode)
             hint = (mat_a.astype(np.uint64) @ mat_d.astype(np.uint64)).astype(np.uint32)
             server = cls("numpy", mat_d, m, cols, bit_len)
@@ -104,6 +125,41 @@ class Server:
             )
 
         return server, matrix_io.matrix_to_bytes(hint), filt.to_bytes()
+
+    @classmethod
+    def _setup_sharded(cls, seed, mat_d, bit_len, prg_mode, mesh):
+        """Multi-chip setup: packed planes row-sharded over the `model`
+        axis, hint computed as sharded packed matvecs over host A blocks."""
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+        import jax
+
+        from ..parallel import build_sharded_pallas_db, sharded_hint_packed_fn
+        from ..utils import telemetry
+
+        m, cols = mat_d.shape
+        with telemetry.span("server_setup.pack_and_shard", m=m, cols=cols):
+            db = build_sharded_pallas_db(mesh, mat_d, bit_len)
+        m_pad = db.lo.shape[0]
+
+        hint_step = sharded_hint_packed_fn(mesh, db)
+        block_rows = max(1, (16 << 20) // max(1, 4 * m))
+        block_rows = min(block_rows, LWE_DIMENSION)
+        hint_parts = []
+        with telemetry.span("server_setup.hint_sharded", m_pad=m_pad):
+            for _, block in prg.iter_row_blocks(
+                LWE_DIMENSION, m, seed, block_rows, mode=prg_mode
+            ):
+                r = block.shape[0]
+                if r < block_rows:
+                    block = np.pad(block, ((0, block_rows - r), (0, 0)))
+                block = np.pad(block, ((0, 0), (0, m_pad - m)))
+                hint_parts.append((r, hint_step(block)))
+            hint = np.concatenate(
+                [np.asarray(h)[:r] for r, h in hint_parts], axis=0
+            ).astype(np.uint32)
+        return cls("jax", db, m, cols, bit_len, "packed", mesh=mesh), hint
 
     @classmethod
     def _setup_jax(cls, seed, mat_d, bit_len, layout, prg_mode, hint_block_rows):
@@ -234,6 +290,21 @@ class Server:
                 queries.astype(np.uint64) @ self._planes.astype(np.uint64)
             ).astype(np.uint32)
         import jax
+
+        if self._sharded_respond is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self._mesh
+            m_pad = self._planes.lo.shape[0]
+            data = mesh.shape["data"]
+            q = queries.shape[0]
+            q_pad = -(-q // data) * data
+            queries = np.pad(queries, ((0, q_pad - q), (0, m_pad - queries.shape[1])))
+            q_dev = jax.device_put(
+                queries, NamedSharding(mesh, P("data", "model"))
+            )
+            out = np.asarray(self._sharded_respond(q_dev)).astype(np.uint32)
+            return out[:q]
 
         if self._layout == "packed":
             from ..ops import respond_pallas

@@ -61,20 +61,26 @@ def build_pallas_db(
     mat_elem_bit_len: int,
     tile_k: int = DEFAULT_TILE_K,
     chunk_rows: int = 1 << 17,
+    m_align: int | None = None,
+    sharding=None,
 ) -> PallasDB:
     """(m, c) uint16/uint32 encoded DB -> packed device planes.
 
     Packing and upload are pipelined in row chunks: device_put dispatches
     asynchronously, so the tunnel drains chunk i while the host packs
     chunk i+1 — at GB scale the host link, not the pack pass, is the
-    bottleneck."""
+    bottleneck.
+
+    m_align (default tile_k) rounds the padded fingerprint dimension up —
+    sharded serving passes model_shards * tile_k so every shard gets whole
+    tiles; `sharding` places the planes straight onto a mesh."""
     try:
         from ..native import engine as _native
     except Exception:  # pragma: no cover - native build unavailable
         _native = None
 
     m, c = mat.shape
-    m_pad = _round_up(m, tile_k)
+    m_pad = _round_up(m, m_align or tile_k)
     c_pad = _round_up(c, LANE)
     hb = hi_bits(mat_elem_bit_len)
     pack = hi_pack_factor(mat_elem_bit_len) if hb > 0 else 0
@@ -105,12 +111,12 @@ def build_pallas_db(
                     hi_host = np.zeros((rows_pad, pc), np.uint8)
                     for j in range(pack):
                         hi_host |= hi_full[:, j * pc : (j + 1) * pc] << np.uint8(bits * j)
-        lo_chunks.append(jax.device_put(lo_host))
+        lo_chunks.append(jax.device_put(lo_host, sharding))
         if hb > 0:
             if hi_host is None:  # native pack==0 path never lands here
                 pc = c_pad // pack if pack > 1 else c_pad
                 hi_host = np.zeros((rows_pad, pc), np.uint8)
-            hi_chunks.append(jax.device_put(hi_host))
+            hi_chunks.append(jax.device_put(hi_host, sharding))
 
     import jax.numpy as jnp
 

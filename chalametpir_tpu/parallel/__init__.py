@@ -1,11 +1,14 @@
 """Multi-chip scaling: device meshes, sharded respond and setup."""
 
 from .sharding import (
+    build_sharded_pallas_db,
     make_mesh,
     pad_db_planes,
     shard_db_planes,
-    sharded_respond_fn,
     sharded_hint_accumulate_fn,
+    sharded_hint_packed_fn,
+    sharded_respond_fn,
+    sharded_respond_packed_fn,
 )
 
 __all__ = [
@@ -14,4 +17,7 @@ __all__ = [
     "shard_db_planes",
     "sharded_respond_fn",
     "sharded_hint_accumulate_fn",
+    "build_sharded_pallas_db",
+    "sharded_respond_packed_fn",
+    "sharded_hint_packed_fn",
 ]

@@ -108,6 +108,115 @@ def sharded_respond_fn(mesh: Mesh):
     return respond
 
 
+def build_sharded_pallas_db(mesh: Mesh, mat: np.ndarray, mat_elem_bit_len: int):
+    """Pack the encoded DB and place its planes row-sharded over `model`
+    (replicated over `data`). The fingerprint dimension is padded to whole
+    tiles per shard so the Pallas grid is uniform on every chip."""
+    from ..ops import respond_pallas
+
+    model = mesh.shape["model"]
+    sharding = NamedSharding(mesh, P("model", None))
+    return respond_pallas.build_pallas_db(
+        mat,
+        mat_elem_bit_len,
+        m_align=model * respond_pallas.DEFAULT_TILE_K,
+        sharding=sharding,
+    )
+
+
+def _packed_partial_i32(queries_local, lo_local, hi_local, db):
+    """Local-shard packed respond partial -> (Q, c) int32 (pre-psum).
+
+    Everything downstream of the dots is linear in the DB rows, so
+    combining locally and psum'ing the int32 accumulator is exact."""
+    from ..ops import respond_pallas
+    from ..ops.packed import hi_pack_factor
+
+    interpret = jax.default_backend() == "cpu"
+    q = queries_local.shape[0]
+    qd, sums = respond_pallas._prepare_query_digits(
+        queries_local, q, lo_local.shape[0]
+    )
+    if hi_local is None:
+        out_lo = respond_pallas._run_lo_only(qd, lo_local, db.tile_k, interpret)
+        out_hi = None
+    else:
+        pack = hi_pack_factor(db.mat_elem_bit_len)
+        bits = 8 // pack if pack > 1 else 8
+        out_lo, out_hi = respond_pallas._run_with_hi(
+            qd, lo_local, hi_local, db.tile_k, pack, bits, interpret
+        )
+    return respond_pallas._combine(out_lo, out_hi, sums, q, db.num_cols).astype(
+        jnp.int32
+    )
+
+
+def sharded_respond_packed_fn(mesh: Mesh, db):
+    """jit'd (Q, m_pad) -> (Q, c) uint32 over the packed planes: queries
+    sharded (data, model), DB rows sharded over model, exact int32 psum.
+
+    Callers must pad queries to db.lo.shape[0] columns (zero pad — padded
+    DB rows are zero, padded query digits are zero, so the tail
+    contributes nothing)."""
+    specs_db = P("model", None)
+    if db.hi is None:
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("data", "model"), specs_db),
+            out_specs=P("data", None),
+            check_vma=False,
+        )
+        def _respond(queries, lo):
+            return jax.lax.psum(_packed_partial_i32(queries, lo, None, db), "model")
+
+        return jax.jit(lambda q: _respond(q, db.lo).astype(jnp.uint32))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data", "model"), specs_db, specs_db),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    def _respond(queries, lo, hi):
+        return jax.lax.psum(_packed_partial_i32(queries, lo, hi, db), "model")
+
+    return jax.jit(lambda q: _respond(q, db.lo, db.hi).astype(jnp.uint32))
+
+
+def sharded_hint_packed_fn(mesh: Mesh, db):
+    """jit'd hint step over the packed planes: an A row block is a batch of
+    'queries' replicated over `data`, columns sharded over `model`."""
+    specs_db = P("model", None)
+    if db.hi is None:
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, "model"), specs_db),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+        def _step(a_block, lo):
+            return jax.lax.psum(_packed_partial_i32(a_block, lo, None, db), "model")
+
+        return jax.jit(lambda a: _step(a, db.lo).astype(jnp.uint32))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "model"), specs_db, specs_db),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def _step(a_block, lo, hi):
+        return jax.lax.psum(_packed_partial_i32(a_block, lo, hi, db), "model")
+
+    return jax.jit(lambda a: _step(a, db.lo, db.hi).astype(jnp.uint32))
+
+
 def sharded_hint_accumulate_fn(mesh: Mesh):
     """jit'd hint-matmul step: acc (R, C) int32 += A_block (R, m) u32 . D.
 

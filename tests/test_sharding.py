@@ -70,3 +70,71 @@ def test_sharded_hint_accumulate_exact(mesh, rng):
     acc = step(acc, a[:, half:], d0[half:], d1[half:])
     want = (a.astype(np.uint64) @ db.astype(np.uint64)).astype(np.uint32)
     assert np.array_equal(np.asarray(acc).astype(np.uint32), want)
+
+
+@pytest.mark.parametrize("bit_len", [8, 10])  # 8 = lo-only plane (2^23-scale geometry)
+def test_sharded_packed_respond_exact(mesh, rng, bit_len):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chalametpir_tpu.parallel import build_sharded_pallas_db, sharded_respond_packed_fn
+
+    q, m, c = 4, 700, 40
+    queries = rng.integers(0, 1 << 32, size=(q, m), dtype=np.uint32)
+    mat = rng.integers(0, 1 << bit_len, size=(m, c), dtype=np.uint16)
+    db = build_sharded_pallas_db(mesh, mat, bit_len)
+    assert db.lo.shape[0] % (4 * 512) == 0  # whole tiles per model shard
+    respond = sharded_respond_packed_fn(mesh, db)
+    q_pad = np.pad(queries, ((0, 0), (0, db.lo.shape[0] - m)))
+    q_sharded = jax.device_put(q_pad, NamedSharding(mesh, P("data", "model")))
+    got = np.asarray(respond(q_sharded))
+    assert np.array_equal(got, respond_batch_np(queries, mat.astype(np.uint32)))
+
+
+def test_server_api_sharded_round_trip(mesh, rng):
+    """Full protocol through Server.setup(mesh=...) — the product path."""
+    from chalametpir_tpu import Client, Server
+    from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+    from chalametpir_tpu.utils import generate_random_kv_database
+
+    db = generate_random_kv_database(500, rng=rng, value_byte_len=(1, 64))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, arity=3, mesh=mesh, rng=rng)
+    assert server._mesh is mesh
+
+    client = Client.setup(seed, hint, fparams, device=False)
+    for key in list(db)[:3]:
+        while True:
+            try:
+                q = client.query(key)
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                pass
+        assert client.process_response(key, server.respond(q)) == db[key]
+
+
+def test_server_api_sharded_scaled_2pow23_geometry(mesh, rng):
+    """The 2^23 x 1 kB target config, scaled down: b=8 (what
+    find_mat_elem_bit_len gives at 2^23 entries) and 1 kB values exercise
+    the exact kernel/layout the full config would use, on a small DB."""
+    from chalametpir_tpu import Server
+    from chalametpir_tpu.utils import generate_random_kv_database
+
+    db = generate_random_kv_database(300, rng=rng, value_byte_len=(1024, 1024))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(
+        seed, db, arity=3, mesh=mesh, rng=rng, mat_elem_bit_len=8
+    )
+    assert server.mat_elem_bit_len == 8
+    assert server._planes.hi is None  # b=8 stores a single byte plane
+    queries = rng.integers(0, 1 << 32, size=(3, server.num_query_cols), dtype=np.uint32)
+    got = server.respond_batch(queries)
+
+    from chalametpir_tpu.core import encode_db as encode_db_mod
+
+    mat, _ = encode_db_mod.from_kv_database(db, 3, 8, 100, np.random.default_rng(1))
+    # oracle on this server's own planes: reconstruct D from the device
+    lo = np.asarray(server._planes.lo).astype(np.int16)
+    d = ((lo + 128).astype(np.uint16))[: server.num_query_cols, : server.num_response_cols]
+    want = (queries.astype(np.uint64) @ d.astype(np.uint64)).astype(np.uint32)
+    assert np.array_equal(got, want)
