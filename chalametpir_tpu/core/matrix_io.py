@@ -20,6 +20,9 @@ import numpy as np
 from ..errors import (
     FailedToDeserializeMatrixFromBytes,
     ImpossibleEncodedDBMatrixElementBitLength,
+    IncompatibleDimensionForMatrixAddition,
+    InvalidMatrixDimension,
+    InvalidNumberOfElementsInMatrix,
 )
 from ..params import MAX_CIPHER_TEXT_BIT_LEN, MIN_CIPHER_TEXT_BIT_LEN
 
@@ -39,9 +42,20 @@ def matrix_from_bytes(data: bytes) -> np.ndarray:
         raise FailedToDeserializeMatrixFromBytes()
     rows, cols = np.frombuffer(data[:8], dtype="<u4")
     num_elems = int(rows) * int(cols)
-    if num_elems == 0 or len(data) - 8 != 4 * num_elems:
-        raise FailedToDeserializeMatrixFromBytes()
+    if num_elems == 0:
+        raise InvalidMatrixDimension()
+    if len(data) - 8 != 4 * num_elems:
+        raise InvalidNumberOfElementsInMatrix()
     return np.frombuffer(data[8:], dtype="<u4").reshape(int(rows), int(cols)).copy()
+
+
+def matrix_add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise wrapping add mod 2^32 (reference: matrix.rs:1061-1086)."""
+    a = np.asarray(a, np.uint32)
+    b = np.asarray(b, np.uint32)
+    if a.shape != b.shape:
+        raise IncompatibleDimensionForMatrixAddition()
+    return a + b  # numpy uint32 wraps
 
 
 def compression_factor(mat_elem_bit_len: int) -> int:

@@ -398,6 +398,13 @@ def _resolve_backend(backend: str) -> str:
             return "jax"
         except Exception:  # pragma: no cover
             return "numpy"
+    if backend == "jax":
+        try:
+            import jax  # noqa: F401
+        except Exception as e:  # pragma: no cover - no jax in this deploy
+            from ..errors import AcceleratorError
+
+            raise AcceleratorError(f"jax backend requested but unavailable: {e}")
     if backend not in ("jax", "numpy"):
         raise ValueError(f"unknown backend {backend!r}")
     return backend

@@ -119,6 +119,10 @@ class DeviceQueryEngine:
         """(k,) int8 ternary codes {0:0, 1:+1, 2:-1} -> (m,) uint32 s . A."""
         jax = _jax()
 
+        if codes.shape != (self.k,):
+            from ..errors import InvalidDimensionForVector
+
+            raise InvalidDimensionForVector()
         signs = np.where(codes == 2, -1, codes).astype(np.int8)
         out = _ternary_planes_matvec(jax.device_put(signs), self._planes)
         return np.asarray(out).astype(np.uint32)

@@ -53,8 +53,10 @@ def matmul_u32_x_db(a_u32, d0, d1):
 @partial(jax.jit, static_argnames=("out_rows",))
 def digit_matmul_full(a_digits, b_digits, out_rows):
     """General u32 x u32 product from full 4-digit planes of both sides:
-    sum_{i+j<=3} (A_i . B_j) << 8(i+j). Used where the right-hand side is
-    not bounded by 2^14 (e.g. the client's s . M fallback on device)."""
+    sum_{i+j<=3} (A_i . B_j) << 8(i+j) — the device analogue of the
+    reference's unrestricted Matrix::mul (matrix.rs:1031-1059) for
+    right-hand sides not bounded by 2^14 (the protocol's own products all
+    have a narrow side; this is the general-API form)."""
     acc = jnp.zeros((out_rows, b_digits.shape[-1]), jnp.int32)
     for i in range(NUM_U32_DIGITS):
         for j in range(NUM_U32_DIGITS - i):
@@ -64,4 +66,8 @@ def digit_matmul_full(a_digits, b_digits, out_rows):
 
 def matmul_u32_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Host reference: exact (a @ b) mod 2^32 via uint64 wrap-around."""
+    if a.shape[-1] != b.shape[0]:
+        from ..errors import IncompatibleDimensionForMatrixMultiplication
+
+        raise IncompatibleDimensionForMatrixMultiplication()
     return (a.astype(np.uint64) @ b.astype(np.uint64)).astype(np.uint32)

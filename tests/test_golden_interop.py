@@ -1,0 +1,116 @@
+"""Golden-vector interop pins.
+
+The wire formats (seed->A stream, 68-byte filter params, encoded rows,
+matrix serialization, the full hint/query/response exchange) are the
+interop contract with reference peers (reference:
+chalametpir_common/src/matrix.rs:541-558, binary_fuse_filter.rs:462-513,
+serialization.rs:22-184). The Rust toolchain is not available in this
+environment, so these fixtures freeze the *current* bytes: any change to
+a format breaks loudly here, and the TurboSHAKE core they all build on
+is pinned to the published empty-message vector in test_keccak.py.
+
+Fixtures live in tests/golden/ and are regenerated with
+`python tests/golden/generate.py` (which refuses to overwrite unless
+GOLDEN_REGEN=1).
+"""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+import chalametpir_tpu.models.client as client_mod
+from chalametpir_tpu import Client, Server
+from chalametpir_tpu.core import prg
+from chalametpir_tpu.core.codec import encode_kv_as_row
+from chalametpir_tpu.core.filter import BinaryFuseFilter
+from chalametpir_tpu.core.hashing import hash_of_key
+from chalametpir_tpu.core.matrix_io import matrix_to_bytes
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+SEED = bytes(range(32))
+
+
+def _load(name: str) -> bytes:
+    with open(os.path.join(GOLDEN, name), "rb") as f:
+        return f.read()
+
+
+def _manifest() -> dict:
+    with open(os.path.join(GOLDEN, "manifest.json")) as f:
+        return json.load(f)
+
+
+def test_seed_to_a_stream_prefix():
+    """First 256 bytes of the stream-mode seed->A expansion (the format a
+    Rust peer derives with the turboshake crate, matrix.rs:541-558)."""
+    a = prg.expand_seed(2, 32, SEED, mode="stream")  # 2x32 u32 = 256 bytes
+    assert a.astype("<u4").tobytes() == _load("seed_to_a_prefix.bin")
+
+
+def test_seed_to_a_ctr_prefix():
+    """ctr-mode block 0/1 bytes: the TPU-native derivation is its own
+    frozen spec (host and device generators are asserted equal elsewhere)."""
+    a = prg.expand_seed(2, 32, SEED, mode="ctr")
+    assert a.astype("<u4").tobytes() == _load("seed_to_a_ctr_prefix.bin")
+
+
+def test_key_digest():
+    d = hash_of_key(b"golden-key")
+    assert np.asarray(d).astype("<u8").tobytes() == _load("key_digest.bin")
+
+
+def test_encoded_row():
+    digest = _load("key_digest.bin")
+    row = encode_kv_as_row(digest, b"golden-value", 10, 40)
+    assert row.astype("<u4").tobytes() == _load("encoded_row_b10.bin")
+
+
+def test_filter_params_blob():
+    blob = _load("filter_params.bin")
+    filt = BinaryFuseFilter.from_bytes(blob)
+    assert filt.to_bytes() == blob  # byte-exact round trip
+    man = _manifest()
+    assert filt.arity == 3
+    assert filt.num_fingerprints == man["num_fingerprints"]
+    assert filt.mat_elem_bit_len == man["mat_elem_bit_len"]
+
+
+def test_full_exchange_frozen():
+    """Tiny fixed DB, deterministic filter seed and client secret: the
+    whole hint/query/response byte exchange is frozen."""
+    man = _manifest()
+    db = {
+        f"key-{i:02d}".encode(): bytes((i * 7 + j) % 256 for j in range(i + 1))
+        for i in range(32)
+    }
+    server, hint_bytes, fparams = Server.setup(
+        SEED, db, arity=3, backend="numpy", rng=np.random.default_rng(1234)
+    )
+    assert hashlib.sha256(hint_bytes).hexdigest() == man["hint_sha256"]
+    assert fparams == _load("filter_params.bin")
+
+    # deterministic secret: fixed ChaCha key instead of OS entropy
+    orig = client_mod.os.urandom
+    client_mod.os.urandom = lambda n: bytes(range(n))
+    try:
+        client = Client.setup(SEED, hint_bytes, fparams, device=False)
+        query = client.query(b"key-05")
+    finally:
+        client_mod.os.urandom = orig
+    assert hashlib.sha256(query).hexdigest() == man["query_sha256"]
+
+    response = server.respond(query)
+    assert response == _load("response.bin")
+    assert client.process_response(b"key-05", response) == db[b"key-05"]
+
+
+def test_matrix_serialization_header():
+    """rows:u32 LE || cols:u32 LE || elems LE (reference matrix.rs:950-967)."""
+    m = np.arange(6, dtype=np.uint32).reshape(2, 3)
+    b = matrix_to_bytes(m)
+    assert b[:8] == (2).to_bytes(4, "little") + (3).to_bytes(4, "little")
+    assert b[8:] == m.astype("<u4").tobytes()
+    assert len(b) == 8 + 6 * 4

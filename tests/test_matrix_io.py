@@ -8,6 +8,9 @@ from chalametpir_tpu.core import matrix_io
 from chalametpir_tpu.errors import (
     FailedToDeserializeMatrixFromBytes,
     ImpossibleEncodedDBMatrixElementBitLength,
+    IncompatibleDimensionForMatrixAddition,
+    InvalidMatrixDimension,
+    InvalidNumberOfElementsInMatrix,
 )
 
 
@@ -26,12 +29,18 @@ def test_serde_wire_layout():
 
 
 @pytest.mark.parametrize(
-    "blob",
-    [b"", b"\0" * 8, bytes([1, 0, 0, 0, 2, 0, 0, 0]) + b"\0" * 7,
-     bytes([0, 0, 0, 0, 2, 0, 0, 0]) + b"\0" * 8],
+    ("blob", "err"),
+    [
+        (b"", FailedToDeserializeMatrixFromBytes),
+        (b"\0" * 8, FailedToDeserializeMatrixFromBytes),
+        # wrong element count for the declared dims (matrix.rs:978-999)
+        (bytes([1, 0, 0, 0, 2, 0, 0, 0]) + b"\0" * 7, InvalidNumberOfElementsInMatrix),
+        # zero dimension
+        (bytes([0, 0, 0, 0, 2, 0, 0, 0]) + b"\0" * 8, InvalidMatrixDimension),
+    ],
 )
-def test_serde_rejects_malformed(blob):
-    with pytest.raises(FailedToDeserializeMatrixFromBytes):
+def test_serde_rejects_malformed(blob, err):
+    with pytest.raises(err):
         matrix_io.matrix_from_bytes(blob)
 
 
@@ -51,3 +60,11 @@ def test_compression_factor_bounds():
     for b in (0, 3, 15, 32):
         with pytest.raises(ImpossibleEncodedDBMatrixElementBitLength):
             matrix_io.compression_factor(b)
+
+
+def test_matrix_add_wraps_and_checks():
+    a = np.array([[0xFFFFFFFF, 1]], np.uint32)
+    b = np.array([[2, 3]], np.uint32)
+    assert np.array_equal(matrix_io.matrix_add(a, b), np.array([[1, 4]], np.uint32))
+    with pytest.raises(IncompatibleDimensionForMatrixAddition):
+        matrix_io.matrix_add(a, b.T)
