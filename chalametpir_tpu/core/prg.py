@@ -102,3 +102,34 @@ def iter_row_blocks(
     for r0 in range(0, rows, block_rows):
         r = min(block_rows, rows - r0)
         yield r0, stream.read_u32(r * cols).reshape(r, cols)
+
+
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Run a (host-bound) iterator in a background thread, `depth` items
+    ahead. The XOF squeeze is C code that releases the GIL, so the next A
+    row block is squeezed while the device folds the current one into the
+    hint — host PRG and device matmul overlap instead of serialising."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()

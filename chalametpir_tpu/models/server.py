@@ -148,8 +148,8 @@ class Server:
         block_rows = min(block_rows, LWE_DIMENSION)
         hint_parts = []
         with telemetry.span("server_setup.hint_sharded", m_pad=m_pad):
-            for _, block in prg.iter_row_blocks(
-                LWE_DIMENSION, m, seed, block_rows, mode=prg_mode
+            for _, block in prg.prefetch_iter(
+                prg.iter_row_blocks(LWE_DIMENSION, m, seed, block_rows, mode=prg_mode)
             ):
                 r = block.shape[0]
                 if r < block_rows:
@@ -246,7 +246,10 @@ class Server:
 
             with telemetry.span("server_setup.hint_stream", blocks=n_blocks):
                 hint_buf = jnp.zeros((pad_rows, cols), jnp.uint32)
-                for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows):
+                blocks = prg.prefetch_iter(
+                    prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows)
+                )
+                for r0, block in blocks:
                     if block.shape[0] < hint_block_rows:
                         block = np.pad(block, ((0, hint_block_rows - block.shape[0]), (0, 0)))
                     hint_buf = hint_step(hint_buf, jax.device_put(block), jnp.int32(r0))
@@ -257,7 +260,9 @@ class Server:
         d0 = jax.device_put(p0_host)
         d1 = jax.device_put(p1_host)
         hint_rows = []
-        for r0, block in prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows, mode=prg_mode):
+        for r0, block in prg.prefetch_iter(
+            prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows, mode=prg_mode)
+        ):
             r = block.shape[0]
             if r < hint_block_rows:
                 block = np.pad(block, ((0, hint_block_rows - r), (0, 0)))

