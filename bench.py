@@ -70,39 +70,76 @@ def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, by
 
 
 def make_respond_chain(server):
-    """jit'd k-chained respond scan; returns (chain_fn, scan_seconds)."""
+    """Returns scan_seconds(queries, nq): the per-scan latency measured as
+    the slope of k chained DB scans inside one jit.
+
+    The chained program is kept as small as possible — the query *digits*
+    are prepared once outside the loop and the loop body is just the scan
+    kernel plus a one-element XOR dependency — because compiles in this
+    environment go through a remote service and program size is wall
+    time (and a failure risk)."""
     import jax
     import jax.numpy as jnp
 
-    from chalametpir_tpu.ops import respond as respond_ops
-
     if server._layout == "packed":
-        from chalametpir_tpu.ops.respond_pallas import respond_batch_packed
+        from chalametpir_tpu.ops.packed import hi_pack_factor
+        from chalametpir_tpu.ops.respond_pallas import (
+            _prepare_query_digits,
+            _run_lo_only,
+            _run_with_hi,
+        )
 
-        _respond = lambda q: respond_batch_packed(q, server._planes)  # noqa: E731
+        db = server._planes
+        m_pad = db.lo.shape[0]
+
+        if db.hi is None:
+
+            def _scan(qd):
+                return _run_lo_only(qd, db.lo, db.tile_k, False)
+        else:
+            pack = hi_pack_factor(db.mat_elem_bit_len)
+            bits = 8 // pack if pack > 1 else 8
+
+            def _scan(qd):
+                return _run_with_hi(qd, db.lo, db.hi, db.tile_k, pack, bits, False)[0]
+
+        @jax.jit
+        def chain(qd, k):
+            def body(i, qd):
+                out = _scan(qd)
+                return qd ^ (jnp.max(out) & 1).astype(jnp.int8)
+
+            return jnp.max(jax.lax.fori_loop(0, k, body, qd))
+
+        def prepare(queries, nq):
+            q_host = np.resize(queries, (nq, queries.shape[1]))
+            qd, _ = _prepare_query_digits(jax.device_put(q_host), nq, m_pad)
+            return qd
     else:
+        from chalametpir_tpu.ops import respond as respond_ops
+
         d0, d1 = server._planes
-        _respond = lambda q: respond_ops.respond_batch(q, d0, d1)  # noqa: E731
 
-    # k is a runtime value (while-loop trip count): ONE compile per batch
-    # size regardless of how many k points we measure
-    @jax.jit
-    def respond_chain(q, k):
-        def body(i, q):
-            out = _respond(q)
-            return q ^ jnp.max(out)
+        @jax.jit
+        def chain(q, k):
+            def body(i, q):
+                out = respond_ops.respond_batch(q, d0, d1)
+                return q ^ jnp.max(out)
 
-        return jnp.max(jax.lax.fori_loop(0, k, body, q))
+            return jnp.max(jax.lax.fori_loop(0, k, body, q))
+
+        def prepare(queries, nq):
+            return jax.device_put(np.resize(queries, (nq, queries.shape[1])))
 
     def scan_seconds(queries, nq, k_lo=4, k_hi=24, reps=3):
-        q_dev = jax.device_put(np.resize(queries, (nq, queries.shape[1])))
-        float(np.asarray(respond_chain(q_dev, 1)))  # compile+warm
+        q_dev = prepare(queries, nq)
+        float(np.asarray(chain(q_dev, 1)))  # compile+warm
         out = {}
         for k in (k_lo, k_hi):
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(np.asarray(respond_chain(q_dev, k)))
+                float(np.asarray(chain(q_dev, k)))
                 best = min(best, time.perf_counter() - t0)
             out[k] = best
         return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)

@@ -15,7 +15,9 @@ from ..params import SEED_BYTE_LEN
 from .framing import read_frame, write_frame
 
 
-async def fetch(host: str, port: int, keys: list[bytes]) -> dict[bytes, bytes | None]:
+async def fetch(
+    host: str, port: int, keys: list[bytes], prg_mode: str = "stream", device="auto"
+) -> dict[bytes, bytes | None]:
     reader, writer = await asyncio.open_connection(host, port)
     print(f"Connected to PIR server @ {host}:{port}", file=sys.stderr)
 
@@ -24,7 +26,7 @@ async def fetch(host: str, port: int, keys: list[bytes]) -> dict[bytes, bytes | 
     filter_params = await read_frame(reader)
     print(f"Received setup data ({len(hint)} B hint)", file=sys.stderr)
 
-    client = Client.setup(seed, hint, filter_params)
+    client = Client.setup(seed, hint, filter_params, prg_mode=prg_mode, device=device)
     results: dict[bytes, bytes | None] = {}
     for key in keys:
         while True:
@@ -51,10 +53,12 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--key", action="append", default=[], help="key to fetch (repeatable)")
+    ap.add_argument("--prg-mode", default="stream", choices=("stream", "ctr"),
+                    help="must match the server's --prg-mode")
     args = ap.parse_args(argv)
     keys = [k.encode() for k in args.key] or [b"banana"]
 
-    results = asyncio.run(fetch(args.host, args.port, keys))
+    results = asyncio.run(fetch(args.host, args.port, keys, prg_mode=args.prg_mode))
     for key, value in results.items():
         if value is None:
             print(f"{key.decode(errors='replace')}: <failed>")

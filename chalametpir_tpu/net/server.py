@@ -4,8 +4,14 @@ Run: python -m chalametpir_tpu.net.server [--host 127.0.0.1] [--port 8080]
 
 Serves a demo fruit database unless --random-db N is given. Each
 connection receives the setup artifacts and may then stream any number
-of length-framed queries. respond() calls are serialised through a
-single worker so concurrent clients batch naturally onto the device.
+of length-framed queries.
+
+Unlike the reference's per-connection tokio tasks (each running its own
+CPU respond), queries from ALL connections flow into one micro-batching
+dispatcher: whatever is queued when the device frees up is stacked into
+a single respond_batch call — one MXU matmul serves every concurrent
+client, which is exactly where the TPU respond kernel's throughput
+scales (batch Q costs barely more than Q=1).
 """
 
 from __future__ import annotations
@@ -15,9 +21,62 @@ import asyncio
 import os
 import sys
 
+import numpy as np
+
+from ..core import matrix_io
+from ..errors import ChalametPIRError
 from ..models.server import Server
 from ..params import SEED_BYTE_LEN
 from .framing import read_frame, write_frame
+
+
+class BatchDispatcher:
+    """Micro-batching bridge from asyncio connections to the device.
+
+    Submitted queries wait in a queue; a single worker drains up to
+    `max_batch` of them (everything already queued, no artificial delay)
+    and answers them with one respond_batch call off-thread."""
+
+    def __init__(self, server: Server, max_batch: int = 64):
+        self._server = server
+        self._max_batch = max_batch
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: asyncio.Task | None = None
+        self.batches = 0  # served batch count (observability/tests)
+
+    async def submit(self, query_bytes: bytes) -> bytes:
+        if self._task is None:
+            self._task = asyncio.create_task(self._worker())
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        # parse/validate on the submitting task so framing errors surface
+        # on the right connection
+        q = matrix_io.matrix_from_bytes(query_bytes)
+        if q.shape[0] != 1 or q.shape[1] != self._server.num_query_cols:
+            from ..errors import (
+                IncompatibleDimensionForRowVectorTransposedMatrixMultiplication,
+            )
+
+            raise IncompatibleDimensionForRowVectorTransposedMatrixMultiplication()
+        await self._queue.put((q[0], fut))
+        return await fut
+
+    async def _worker(self):
+        while True:
+            batch = [await self._queue.get()]
+            while len(batch) < self._max_batch and not self._queue.empty():
+                batch.append(self._queue.get_nowait())
+            rows = np.stack([q for q, _ in batch])
+            try:
+                out = await asyncio.to_thread(self._server.respond_batch, rows)
+            except Exception as exc:  # propagate to every waiter
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+                continue
+            self.batches += 1
+            for i, (_, fut) in enumerate(batch):
+                if not fut.done():
+                    fut.set_result(matrix_io.matrix_to_bytes(out[i][None, :]))
 
 DEMO_DB = {
     b"apple": b"red", b"banana": b"yellow", b"grape": b"purple",
@@ -34,7 +93,7 @@ class PirTcpServer:
         self._seed = seed
         self._hint = hint
         self._filter_params = filter_params
-        self._respond_lock = asyncio.Lock()
+        self._dispatcher = BatchDispatcher(server)
 
     async def handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
@@ -49,8 +108,11 @@ class PirTcpServer:
                     query = await read_frame(reader)
                 except (asyncio.IncompleteReadError, ConnectionResetError):
                     break
-                async with self._respond_lock:
-                    response = await asyncio.to_thread(self._server.respond, query)
+                try:
+                    response = await self._dispatcher.submit(query)
+                except ChalametPIRError as exc:
+                    print(f"Bad query from {peer}: {exc}", file=sys.stderr)
+                    break
                 write_frame(writer, response)
                 await writer.drain()
         finally:
@@ -75,6 +137,8 @@ def main(argv=None):
     ap.add_argument("--random-db", type=int, default=0, metavar="N",
                     help="serve a random N-entry database instead of the demo")
     ap.add_argument("--backend", default="auto", choices=("auto", "jax", "numpy"))
+    ap.add_argument("--prg-mode", default="stream", choices=("stream", "ctr"),
+                    help="A derivation; clients must match (stream = reference interop)")
     args = ap.parse_args(argv)
 
     if args.random_db:
@@ -85,7 +149,9 @@ def main(argv=None):
         db = DEMO_DB
 
     seed = os.urandom(SEED_BYTE_LEN)
-    server, hint, filter_params = Server.setup(seed, db, arity=args.arity, backend=args.backend)
+    server, hint, filter_params = Server.setup(
+        seed, db, arity=args.arity, backend=args.backend, prg_mode=args.prg_mode
+    )
     print(f"Setup done: {len(db)} entries, hint {len(hint)} B", file=sys.stderr)
     asyncio.run(PirTcpServer(server, seed, hint, filter_params).serve(args.host, args.port))
 

@@ -33,7 +33,10 @@ from .digits import NUM_U32_DIGITS, recode_u32_jnp
 from .packed import hi_bits, hi_pack_factor
 
 LANE = 128
-DEFAULT_TILE_K = 512
+# m-rows per grid step. Bigger tiles amortise the per-step VPU unpack and
+# control overhead: at the 2^20 headline config, 2048 scans ~8% faster
+# than 512 (4.43 ms vs 4.79 ms per full-DB scan on v5e).
+DEFAULT_TILE_K = 2048
 
 
 def _round_up(x: int, m: int) -> int:

@@ -48,3 +48,64 @@ def test_tcp_multiple_clients(rng):
     a, b = asyncio.run(run())
     assert a[b"apple"] == b"red"
     assert b[b"plum"] == b"purple"
+
+
+def test_batch_dispatcher_coalesces_concurrent_queries(rng):
+    """Many in-flight queries must be answered by fewer device batches."""
+    from chalametpir_tpu.core import matrix_io
+    from chalametpir_tpu.net.server import BatchDispatcher
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+
+    from chalametpir_tpu.models.client import Client
+
+    client = Client.setup(seed, hint, fparams, device=False)
+    keys = [b"apple", b"banana", b"grape", b"kiwi", b"plum", b"peach"]
+    queries = []
+    for k in keys:
+        from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+
+        while True:
+            try:
+                queries.append(client.query(k))
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                pass
+
+    dispatcher = BatchDispatcher(server, max_batch=8)
+
+    async def run():
+        return await asyncio.gather(*(dispatcher.submit(q) for q in queries))
+
+    responses = asyncio.run(run())
+    for k, r in zip(keys, responses):
+        assert client.process_response(k, r) == DEMO_DB[k]
+    # 6 concurrent queries; the first may ride alone but the rest coalesce
+    assert dispatcher.batches < len(keys)
+
+
+def test_batch_dispatcher_rejects_malformed():
+    import numpy as np
+
+    from chalametpir_tpu.errors import (
+        IncompatibleDimensionForRowVectorTransposedMatrixMultiplication,
+    )
+    from chalametpir_tpu.net.server import BatchDispatcher
+
+    rng = np.random.default_rng(3)
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    dispatcher = BatchDispatcher(server)
+
+    from chalametpir_tpu.core import matrix_io
+
+    bad = matrix_io.matrix_to_bytes(np.zeros((1, 3), np.uint32))
+
+    async def run():
+        with pytest.raises(
+            IncompatibleDimensionForRowVectorTransposedMatrixMultiplication
+        ):
+            await dispatcher.submit(bad)
+
+    asyncio.run(run())
