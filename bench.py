@@ -92,24 +92,34 @@ def make_respond_chain(server):
         db = server._planes
         m_pad = db.lo.shape[0]
 
+        # planes are call-time jit arguments: captured arrays would bake the
+        # database into the program hash (fresh remote compile per DB)
         if db.hi is None:
 
-            def _scan(qd):
-                return _run_lo_only(qd, db.lo, db.tile_k, False)
+            @jax.jit
+            def chain_lo(qd, k, lo):
+                def body(i, qd):
+                    out = _run_lo_only(qd, lo, db.tile_k, False)
+                    return qd ^ (jnp.max(out) & 1).astype(jnp.int8)
+
+                return jnp.max(jax.lax.fori_loop(0, k, body, qd))
+
+            def chain(qd, k):
+                return chain_lo(qd, k, db.lo)
         else:
             pack = hi_pack_factor(db.mat_elem_bit_len)
             bits = 8 // pack if pack > 1 else 8
 
-            def _scan(qd):
-                return _run_with_hi(qd, db.lo, db.hi, db.tile_k, pack, bits, False)[0]
+            @jax.jit
+            def chain_hi(qd, k, lo, hi):
+                def body(i, qd):
+                    out = _run_with_hi(qd, lo, hi, db.tile_k, pack, bits, False)[0]
+                    return qd ^ (jnp.max(out) & 1).astype(jnp.int8)
 
-        @jax.jit
-        def chain(qd, k):
-            def body(i, qd):
-                out = _scan(qd)
-                return qd ^ (jnp.max(out) & 1).astype(jnp.int8)
+                return jnp.max(jax.lax.fori_loop(0, k, body, qd))
 
-            return jnp.max(jax.lax.fori_loop(0, k, body, qd))
+            def chain(qd, k):
+                return chain_hi(qd, k, db.lo, db.hi)
 
         def prepare(queries, nq):
             q_host = np.resize(queries, (nq, queries.shape[1]))
@@ -121,12 +131,15 @@ def make_respond_chain(server):
         d0, d1 = server._planes
 
         @jax.jit
-        def chain(q, k):
+        def chain_digit2(q, k, p0, p1):
             def body(i, q):
-                out = respond_ops.respond_batch(q, d0, d1)
+                out = respond_ops.respond_batch(q, p0, p1)
                 return q ^ jnp.max(out)
 
             return jnp.max(jax.lax.fori_loop(0, k, body, q))
+
+        def chain(q, k):
+            return chain_digit2(q, k, d0, d1)
 
         def prepare(queries, nq):
             return jax.device_put(np.resize(queries, (nq, queries.shape[1])))
@@ -162,6 +175,13 @@ def run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     t0 = time.perf_counter()
     db = build_db(n, value_len, rng)
     log(f"2^{log_n} a{arity}: db built in {time.perf_counter()-t0:.1f}s")
+    # the 2^20 dict pins >2M objects in the old generation; JAX
+    # tracing/compilation allocates heavily, and every gen-2 collection
+    # then scans millions of objects — freeze() exempts them (measured:
+    # this was most of a 20+ minute "compile")
+    import gc
+
+    gc.freeze()
 
     seed = rng.bytes(32)
     t0 = time.perf_counter()

@@ -18,6 +18,8 @@ a device, used as the cross-check oracle in tests.
 
 from __future__ import annotations
 
+import contextlib
+import gc
 from functools import partial
 
 import numpy as np
@@ -106,23 +108,29 @@ class Server:
 
         from ..utils import telemetry
 
-        bit_len = mat_elem_bit_len or find_mat_elem_bit_len(len(db))
-        with telemetry.span("server_setup.encode_db", entries=len(db), b=bit_len):
-            mat_d, filt = encode_db.from_kv_database(
-                db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
-            )
-        m, cols = mat_d.shape
+        # a million-entry `db` dict pins millions of objects in the old GC
+        # generation while tracing/compilation below allocates heavily —
+        # every gen-2 collection then walks the whole dict. Suspend the
+        # collector for the duration (no cycles are created that must be
+        # reclaimed mid-setup; anything cyclic is collected on exit).
+        with _gc_paused():
+            bit_len = mat_elem_bit_len or find_mat_elem_bit_len(len(db))
+            with telemetry.span("server_setup.encode_db", entries=len(db), b=bit_len):
+                mat_d, filt = encode_db.from_kv_database(
+                    db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
+                )
+            m, cols = mat_d.shape
 
-        if mesh is not None:
-            server, hint = cls._setup_sharded(seed, mat_d, bit_len, prg_mode, mesh)
-        elif backend == "numpy":
-            mat_a = prg.expand_seed(LWE_DIMENSION, m, seed, mode=prg_mode)
-            hint = (mat_a.astype(np.uint64) @ mat_d.astype(np.uint64)).astype(np.uint32)
-            server = cls("numpy", mat_d, m, cols, bit_len)
-        else:
-            server, hint = cls._setup_jax(
-                seed, mat_d, bit_len, layout, prg_mode, hint_block_rows
-            )
+            if mesh is not None:
+                server, hint = cls._setup_sharded(seed, mat_d, bit_len, prg_mode, mesh)
+            elif backend == "numpy":
+                mat_a = prg.expand_seed(LWE_DIMENSION, m, seed, mode=prg_mode)
+                hint = (mat_a.astype(np.uint64) @ mat_d.astype(np.uint64)).astype(np.uint32)
+                server = cls("numpy", mat_d, m, cols, bit_len)
+            else:
+                server, hint = cls._setup_jax(
+                    seed, mat_d, bit_len, layout, prg_mode, hint_block_rows
+                )
 
         return server, matrix_io.matrix_to_bytes(hint), filt.to_bytes()
 
@@ -212,11 +220,14 @@ class Server:
 
                 # separately-jitted stages: fusing the Keccak generator,
                 # the respond kernel, and the slice update into one
-                # program sends the compiler into the weeds
-                @jax.jit
-                def gen_slab(blk0_words, offset):
+                # program sends the compiler into the weeds.
+                # seed_words is an ARGUMENT, not a closure capture: captured
+                # arrays are baked into the program as constants, so every
+                # new seed would be a fresh (remote, minutes-long) compile.
+                @partial(jax.jit, static_argnames=("nrows", "ncols"))
+                def gen_slab(sw, blk0_words, offset, nrows, ncols):
                     return prg_jax.rows_from_blocks(
-                        seed_words, blk0_words, offset, rows_per_step, m
+                        sw, blk0_words, offset, nrows, ncols
                     )
 
                 @partial(jax.jit, donate_argnums=0)
@@ -231,15 +242,31 @@ class Server:
                         blk0_words = jnp.asarray(
                             np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32)
                         )
-                        a_slab = gen_slab(blk0_words, jnp.int32(word0 - blk0 * 42))
+                        a_slab = gen_slab(
+                            seed_words,
+                            blk0_words,
+                            jnp.int32(word0 - blk0 * 42),
+                            rows_per_step,
+                            m,
+                        )
                         out = respond_pallas.respond_batch_packed(a_slab, db)
                         hint_buf = write_rows(hint_buf, out, jnp.int32(r0))
                     hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
                 return cls("jax", db, m, cols, bit_len, "packed"), hint
 
-            @partial(jax.jit, donate_argnums=0)
-            def hint_step(hint_buf, block, r0):
-                out = respond_pallas.respond_batch_packed(block, db)
+            # planes are jit ARGUMENTS (see respond_packed_core) so the
+            # compiled program is reused across databases of one geometry
+            interpret = jax.default_backend() == "cpu"
+
+            @partial(
+                jax.jit,
+                donate_argnums=0,
+                static_argnames=("bit_len", "ncols", "tile_k", "interp"),
+            )
+            def hint_step(hint_buf, block, r0, lo, hi, bit_len, ncols, tile_k, interp):
+                out = respond_pallas.respond_packed_core(
+                    block, lo, hi, bit_len, ncols, tile_k, interp
+                )
                 return jax.lax.dynamic_update_slice(
                     hint_buf, out, (r0, jnp.int32(0))
                 )
@@ -252,7 +279,10 @@ class Server:
                 for r0, block in blocks:
                     if block.shape[0] < hint_block_rows:
                         block = np.pad(block, ((0, hint_block_rows - block.shape[0]), (0, 0)))
-                    hint_buf = hint_step(hint_buf, jax.device_put(block), jnp.int32(r0))
+                    hint_buf = hint_step(
+                        hint_buf, jax.device_put(block), jnp.int32(r0),
+                        db.lo, db.hi, bit_len, cols, db.tile_k, interpret,
+                    )
                 hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
             return cls("jax", db, m, cols, bit_len, "packed"), hint
 
@@ -393,6 +423,17 @@ class Server:
             meta["mat_elem_bit_len"],
             meta["layout"],
         )
+
+
+@contextlib.contextmanager
+def _gc_paused():
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        yield
+    finally:
+        if was_enabled:
+            gc.enable()
 
 
 def _resolve_backend(backend: str) -> str:

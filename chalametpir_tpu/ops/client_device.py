@@ -77,11 +77,14 @@ class DeviceQueryEngine:
         n_steps = -(-k // rows_per_step)
         k_pad = n_steps * rows_per_step
 
-        gen = jax.jit(
-            lambda blk0_words, offset: _recode_planes_jnp(
-                prg_jax.rows_from_blocks(seed_words, blk0_words, offset, rows_per_step, m)
+        # seed_words is an argument, not a closure capture — a captured
+        # array is baked into the program, making every new seed a fresh
+        # (remote, slow) compile
+        @partial(jax.jit, static_argnames=("nrows", "ncols"))
+        def gen(sw, blk0_words, offset, nrows, ncols):
+            return _recode_planes_jnp(
+                prg_jax.rows_from_blocks(sw, blk0_words, offset, nrows, ncols)
             )
-        )
 
         @partial(jax.jit, donate_argnums=0)
         def write(buf, slab_planes, r0):
@@ -92,7 +95,13 @@ class DeviceQueryEngine:
             word0 = r0 * m
             blk0 = (word0 * 4) // prg_jax.RATE
             blk0_words = jnp.asarray(np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32))
-            slab = gen(blk0_words, jnp.int32(word0 - blk0 * (prg_jax.RATE // 4)))
+            slab = gen(
+                seed_words,
+                blk0_words,
+                jnp.int32(word0 - blk0 * (prg_jax.RATE // 4)),
+                rows_per_step,
+                m,
+            )
             buf = write(buf, slab, jnp.int32(r0))
         # zero-pad rows beyond k: their biased value -128 would corrupt the
         # bias correction, so slice back to the logical k

@@ -236,6 +236,31 @@ def _prepare_query_digits(queries_u32, num_queries, m_pad):
     return qd_pad, sums
 
 
+def respond_packed_core(
+    queries_u32, lo, hi, mat_elem_bit_len: int, num_cols: int, tile_k: int,
+    interpret: bool,
+):
+    """Traceable core: (Q, m) uint32 x (lo, hi) planes -> (Q, c) uint32.
+
+    Takes the planes as ARGUMENTS so callers can wrap it in an outer jit
+    without baking the (GB-scale, per-database) arrays into the program as
+    constants — a captured array changes the program hash, which in this
+    deployment means a fresh remote compile for every new database."""
+    q, _ = queries_u32.shape
+    m_pad = lo.shape[0]
+    qd, sums = _prepare_query_digits(queries_u32, q, m_pad)
+
+    if hi is None:
+        out_lo = _run_lo_only(qd, lo, tile_k, interpret)
+        out_hi = None
+    else:
+        pack = hi_pack_factor(mat_elem_bit_len)
+        bits = 8 // pack if pack > 1 else 8
+        out_lo, out_hi = _run_with_hi(qd, lo, hi, tile_k, pack, bits, interpret)
+
+    return _combine(out_lo, out_hi, sums, q, num_cols)
+
+
 def respond_batch_packed(queries_u32, db: PallasDB, interpret: bool | None = None):
     """(Q, m) uint32 queries x PallasDB -> (Q, c) uint32 responses."""
     if interpret is None:
@@ -245,18 +270,10 @@ def respond_batch_packed(queries_u32, db: PallasDB, interpret: bool | None = Non
     q, m = queries_u32.shape
     if m != db.num_rows:
         raise ValueError(f"query length {m} != DB rows {db.num_rows}")
-    m_pad = db.lo.shape[0]
-    qd, sums = _prepare_query_digits(queries_u32, q, m_pad)
-
-    if db.hi is None:
-        out_lo = _run_lo_only(qd, db.lo, db.tile_k, interpret)
-        out_hi = None
-    else:
-        pack = hi_pack_factor(db.mat_elem_bit_len)
-        bits = 8 // pack if pack > 1 else 8
-        out_lo, out_hi = _run_with_hi(qd, db.lo, db.hi, db.tile_k, pack, bits, interpret)
-
-    return _combine(out_lo, out_hi, sums, q, db.num_cols)
+    return respond_packed_core(
+        queries_u32, db.lo, db.hi, db.mat_elem_bit_len, db.num_cols, db.tile_k,
+        interpret,
+    )
 
 
 @partial(jax.jit, static_argnames=("q", "c"))

@@ -171,7 +171,10 @@ def sharded_respond_packed_fn(mesh: Mesh, db):
         def _respond(queries, lo):
             return jax.lax.psum(_packed_partial_i32(queries, lo, None, db), "model")
 
-        return jax.jit(lambda q: _respond(q, db.lo).astype(jnp.uint32))
+        # planes passed as call-time ARGUMENTS (not jit closure constants)
+        # so the compiled program is shared across databases
+        jitted = jax.jit(lambda q, lo: _respond(q, lo).astype(jnp.uint32))
+        return lambda q: jitted(q, db.lo)
 
     @partial(
         jax.shard_map,
@@ -183,7 +186,8 @@ def sharded_respond_packed_fn(mesh: Mesh, db):
     def _respond(queries, lo, hi):
         return jax.lax.psum(_packed_partial_i32(queries, lo, hi, db), "model")
 
-    return jax.jit(lambda q: _respond(q, db.lo, db.hi).astype(jnp.uint32))
+    jitted = jax.jit(lambda q, lo, hi: _respond(q, lo, hi).astype(jnp.uint32))
+    return lambda q: jitted(q, db.lo, db.hi)
 
 
 def sharded_hint_packed_fn(mesh: Mesh, db):
@@ -202,7 +206,8 @@ def sharded_hint_packed_fn(mesh: Mesh, db):
         def _step(a_block, lo):
             return jax.lax.psum(_packed_partial_i32(a_block, lo, None, db), "model")
 
-        return jax.jit(lambda a: _step(a, db.lo).astype(jnp.uint32))
+        jitted = jax.jit(lambda a, lo: _step(a, lo).astype(jnp.uint32))
+        return lambda a: jitted(a, db.lo)
 
     @partial(
         jax.shard_map,
@@ -214,7 +219,8 @@ def sharded_hint_packed_fn(mesh: Mesh, db):
     def _step(a_block, lo, hi):
         return jax.lax.psum(_packed_partial_i32(a_block, lo, hi, db), "model")
 
-    return jax.jit(lambda a: _step(a, db.lo, db.hi).astype(jnp.uint32))
+    jitted = jax.jit(lambda a, lo, hi: _step(a, lo, hi).astype(jnp.uint32))
+    return lambda a: jitted(a, db.lo, db.hi)
 
 
 def sharded_hint_accumulate_fn(mesh: Mesh):
