@@ -144,9 +144,7 @@ def make_respond_chain(server):
         def prepare(queries, nq):
             return jax.device_put(np.resize(queries, (nq, queries.shape[1])))
 
-    def scan_seconds(queries, nq, k_lo=4, k_hi=24, reps=3):
-        q_dev = prepare(queries, nq)
-        float(np.asarray(chain(q_dev, 1)))  # compile+warm
+    def _slope(q_dev, k_lo, k_hi, reps=3):
         out = {}
         for k in (k_lo, k_hi):
             best = float("inf")
@@ -156,6 +154,17 @@ def make_respond_chain(server):
                 best = min(best, time.perf_counter() - t0)
             out[k] = best
         return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
+
+    def scan_seconds(queries, nq, k_lo=4, k_hi=24):
+        q_dev = prepare(queries, nq)
+        float(np.asarray(chain(q_dev, 1)))  # compile+warm
+        slope = _slope(q_dev, k_lo, k_hi)
+        # small DBs scan in tens of us — grow k until the measured delta
+        # clears timer/dispatch noise (>= ~30 ms between the two points)
+        while slope * (k_hi - k_lo) < 0.03 and k_hi < 4096:
+            k_lo, k_hi = k_lo * 8, k_hi * 8
+            slope = _slope(q_dev, k_lo, k_hi)
+        return max(slope, 1e-9)
 
     return scan_seconds
 
@@ -274,11 +283,30 @@ def main() -> None:
     rng = np.random.default_rng(0xBEEF)
     log(f"backend={jax.default_backend()} headline=2^{LOG_N} arity{ARITY} {VALUE_LEN}B budget={BUDGET_S}s")
 
+    # measure the host->device link once: server_setup here is dominated by
+    # shipping the packed DB through this environment's tunnel (~0.03 GB/s;
+    # real TPU DMA would make the same upload ~0.1 s), so the artifact
+    # carries the rate for attribution
+    import jax.numpy as jnp
+
+    probe = np.zeros(32 << 20, np.int8)
+    t0 = time.perf_counter()
+    h2d_rate = None
+    try:
+        d = jax.device_put(probe)
+        float(jnp.max(d.astype(jnp.int32)))  # force the transfer to drain
+        h2d_rate = round(probe.nbytes / (time.perf_counter() - t0) / 1e9, 4)
+        del d
+    except Exception:
+        pass
+    log(f"tunnel h2d ~{h2d_rate} GB/s")
+
     result = {
         "metric": "server_respond_db_scan_GBps",
         "value": None,
         "unit": "GB/s",
         "vs_baseline": None,
+        "tunnel_h2d_GBps": h2d_rate,
     }
 
     def emit(rec):

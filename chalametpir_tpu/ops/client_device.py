@@ -54,10 +54,11 @@ def _recode_planes_jnp(slab_u32):
 class DeviceQueryEngine:
     """Holds the A byte planes in HBM and runs s . A per query."""
 
-    def __init__(self, planes, k: int, m: int):
-        self._planes = planes  # (4, k, m) int8
+    def __init__(self, planes, k: int, m: int, k_pad: int | None = None):
+        self._planes = planes  # (4, k_pad, m) int8; rows >= k are ignored
         self.k = k
         self.m = m
+        self.k_pad = k_pad or planes.shape[1]
 
     # -- construction --------------------------------------------------------
 
@@ -103,9 +104,10 @@ class DeviceQueryEngine:
                 m,
             )
             buf = write(buf, slab, jnp.int32(r0))
-        # zero-pad rows beyond k: their biased value -128 would corrupt the
-        # bias correction, so slice back to the logical k
-        return cls(buf[:, :k, :], k, m)
+        # rows k..k_pad hold PRG output that must not contribute — but
+        # slicing would COPY the ~8 GB buffer (an HBM peak of 2x). Keep the
+        # padded planes and zero-pad the ternary signs instead: 0 * row = 0.
+        return cls(buf, k, m, k_pad=k_pad)
 
     @classmethod
     def from_host_matrix(cls, a_host: np.ndarray) -> "DeviceQueryEngine":
@@ -132,7 +134,8 @@ class DeviceQueryEngine:
             from ..errors import InvalidDimensionForVector
 
             raise InvalidDimensionForVector()
-        signs = np.where(codes == 2, -1, codes).astype(np.int8)
+        signs = np.zeros(self.k_pad, np.int8)
+        signs[: self.k] = np.where(codes == 2, -1, codes).astype(np.int8)
         out = _ternary_planes_matvec(jax.device_put(signs), self._planes)
         return np.asarray(out).astype(np.uint32)
 
