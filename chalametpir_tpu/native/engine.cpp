@@ -393,14 +393,16 @@ void encode_assemble_rows16(const uint8_t* digests,
 }
 
 // uint16-input variant of build_packed_planes (D is stored as uint16).
+// lo_stride lets the caller request a TIGHT lo plane (stride == c) so the
+// zero column padding never crosses the host link; the device pads.
+// hi stays c_pad-based: its block-interleave layout is defined over c_pad.
 void build_packed_planes16(const uint16_t* mat, int64_t m, int64_t c,
-                           int64_t m_pad, int64_t c_pad, int8_t* lo,
+                           int64_t lo_stride, int64_t c_pad, int8_t* lo,
                            uint8_t* hi, int32_t pack, int32_t bits) {
-  (void)m_pad;
   const int64_t pc = (pack > 1) ? c_pad / pack : c_pad;
   for (int64_t r = 0; r < m; ++r) {
     const uint16_t* src = mat + r * c;
-    int8_t* lo_row = lo + r * c_pad;
+    int8_t* lo_row = lo + r * lo_stride;
     for (int64_t j = 0; j < c; ++j)
       lo_row[j] = static_cast<int8_t>(static_cast<uint8_t>(src[j]) - 128u);
     if (hi == nullptr) continue;

@@ -291,27 +291,37 @@ def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:
     return out
 
 
-def build_packed_planes(mat: np.ndarray, m_pad: int, c_pad: int, pack: int, bits: int):
+def build_packed_planes(
+    mat: np.ndarray, m_pad: int, c_pad: int, pack: int, bits: int,
+    tight_lo: bool = False,
+):
     """One-pass construction of (lo, hi_packed) host planes for the Pallas
     respond layout; hi is None when pack == 0. Accepts the uint16 D matrix
-    (the storage format) or uint32 (legacy/tests)."""
+    (the storage format) or uint32 (legacy/tests).
+
+    tight_lo (uint16 path only): emit lo as (m, c) with no padding — the
+    caller pads on device so zero columns never cross the host link."""
+    m, c = mat.shape
     if mat.dtype == np.uint16:
         mat = np.ascontiguousarray(mat)
         fn, ptr_t = _lib.build_packed_planes16, _u16p
+        lo_rows, lo_stride = (m, c) if tight_lo else (m_pad, c_pad)
     else:
+        if tight_lo:
+            raise ValueError("tight_lo requires the uint16 storage format")
         mat = np.ascontiguousarray(mat, np.uint32)
         fn, ptr_t = _lib.build_packed_planes, _u32p
-    m, c = mat.shape
-    lo = alloc_array((m_pad, c_pad), np.int8)
+        lo_rows, lo_stride = m_pad, c_pad
+    lo = alloc_array((lo_rows, lo_stride), np.int8)
     if pack == 0:
         fn(
-            _ptr(mat, ptr_t), m, c, m_pad, c_pad, _ptr(lo, _i8p),
+            _ptr(mat, ptr_t), m, c, lo_stride, c_pad, _ptr(lo, _i8p),
             ctypes.cast(None, _u8p), 0, 0,
         )
         return lo, None
     pc = c_pad // pack if pack > 1 else c_pad
     hi = alloc_array((m_pad, pc), np.uint8)
     fn(
-        _ptr(mat, ptr_t), m, c, m_pad, c_pad, _ptr(lo, _i8p), _ptr(hi, _u8p), pack, bits
+        _ptr(mat, ptr_t), m, c, lo_stride, c_pad, _ptr(lo, _i8p), _ptr(hi, _u8p), pack, bits
     )
     return lo, hi

@@ -139,3 +139,54 @@ def test_client_secret_sampler_is_csprng():
     assert set(np.unique(a).tolist()) <= {0, 1, 2}
     counts = np.bincount(a, minlength=3) / a.size
     assert np.allclose(counts, 1 / 3, atol=0.02)
+
+
+def test_protocol_works_without_jax():
+    """The reference ships a wasm client that runs without its native
+    accelerator stack; our analogue is that the host protocol (numpy
+    server backend + host client) must work with jax entirely absent.
+    Run a round trip in a subprocess where importing jax raises."""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys
+
+class _Block:
+    def find_spec(self, name, path=None, target=None):
+        if name == "jax" or name.startswith("jax."):
+            raise ImportError("jax blocked for this test")
+        return None
+
+sys.meta_path.insert(0, _Block())
+
+import numpy as np
+from chalametpir_tpu import Client, Server
+from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+from chalametpir_tpu.utils import generate_random_kv_database
+
+rng = np.random.default_rng(5)
+db = generate_random_kv_database(300, rng=rng, value_byte_len=(1, 64))
+seed = rng.bytes(32)
+server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+client = Client.setup(seed, hint, fparams, device=False)
+key = list(db)[7]
+while True:
+    try:
+        q = client.query(key)
+        break
+    except ArithmeticOverflowAddingQueryIndicator:
+        pass
+assert client.process_response(key, server.respond(q)) == db[key]
+assert "jax" not in sys.modules
+print("OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
