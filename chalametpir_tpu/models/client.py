@@ -118,14 +118,54 @@ class Client:
         if key in self._pending:
             raise PendingQueryExistsForKey()
 
-        m = self._filter.num_fingerprints
         secret_s = self._sample_ternary(LWE_DIMENSION)
-        error_e = self._sample_ternary_u32(m)
-
         if self._engine is not None:
-            query_b = self._engine.matvec(secret_s) + error_e
+            b_base = self._engine.matvec(secret_s)
         else:
-            query_b = self._ternary_matvec(secret_s, self._pub_mat_a) + error_e
+            b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
+        return self._finalize_query(key, secret_s, b_base)
+
+    def query_batch(self, keys: list[bytes]) -> list[bytes]:
+        """Build queries for several keys at once. On a device client all
+        secrets ride one batched MXU matvec (A streams from HBM once per
+        batch instead of once per key); keys whose indicator overflows are
+        transparently retried with fresh randomness, preserving the
+        single-query retry contract."""
+        keys = [bytes(k) for k in keys]
+        if len(set(keys)) != len(keys):
+            raise PendingQueryExistsForKey()
+        for key in keys:
+            if key in self._pending:
+                raise PendingQueryExistsForKey()
+
+        codes = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in keys])
+        if self._engine is not None:
+            b_batch = self._engine.matvec_batch(codes)
+        else:
+            b_batch = np.stack(
+                [self._ternary_matvec(c, self._pub_mat_a) for c in codes]
+            )
+        out = []
+        for i, key in enumerate(keys):
+            try:
+                out.append(self._finalize_query(key, codes[i], b_batch[i]))
+            except ArithmeticOverflowAddingQueryIndicator:
+                while True:
+                    try:
+                        out.append(self.query(key))
+                        break
+                    except ArithmeticOverflowAddingQueryIndicator:
+                        continue
+        return out
+
+    def _finalize_query(self, key: bytes, secret_s: np.ndarray, b_base: np.ndarray) -> bytes:
+        """Add the error vector and the query indicator, record the
+        pending unblinding vector (reference: client.rs:106-139). Raises
+        the overflow error with no state change; callers retry with a
+        fresh secret."""
+        m = self._filter.num_fingerprints
+        error_e = self._sample_ternary_u32(m)
+        query_b = b_base + error_e
         vec_c = self._ternary_matvec(secret_s, self._hint_mat_m)
 
         digest = hashing.hash_of_key(key)

@@ -128,14 +128,24 @@ class DeviceQueryEngine:
 
     def matvec(self, codes: np.ndarray) -> np.ndarray:
         """(k,) int8 ternary codes {0:0, 1:+1, 2:-1} -> (m,) uint32 s . A."""
-        jax = _jax()
-
         if codes.shape != (self.k,):
             from ..errors import InvalidDimensionForVector
 
             raise InvalidDimensionForVector()
-        signs = np.zeros(self.k_pad, np.int8)
-        signs[: self.k] = np.where(codes == 2, -1, codes).astype(np.int8)
+        return self.matvec_batch(codes[None, :])[0]
+
+    def matvec_batch(self, codes: np.ndarray) -> np.ndarray:
+        """(Q, k) ternary codes -> (Q, m) uint32; all Q secrets ride one
+        batched einsum (the A planes stream from HBM once per batch)."""
+        jax = _jax()
+
+        if codes.ndim != 2 or codes.shape[1] != self.k:
+            from ..errors import InvalidDimensionForVector
+
+            raise InvalidDimensionForVector()
+        q = codes.shape[0]
+        signs = np.zeros((q, self.k_pad), np.int8)
+        signs[:, : self.k] = np.where(codes == 2, -1, codes).astype(np.int8)
         out = _ternary_planes_matvec(jax.device_put(signs), self._planes)
         return np.asarray(out).astype(np.uint32)
 
@@ -143,15 +153,15 @@ class DeviceQueryEngine:
 def _ternary_planes_matvec_impl(signs, planes):
     import jax.numpy as jnp
 
-    k = signs.shape[0]
-    s_mat = jnp.broadcast_to(signs[None, None, :], (4, 1, k))
+    q, k = signs.shape
+    s_mat = jnp.broadcast_to(signs[None, :, :], (4, q, k))
     dots = jnp.einsum(
-        "bik,bkm->bim", s_mat, planes, preferred_element_type=jnp.int32
-    )  # (4, 1, m)
-    s_sum = jnp.sum(signs.astype(jnp.int32))
-    acc = jnp.zeros(dots.shape[-1], jnp.uint32)
+        "bqk,bkm->bqm", s_mat, planes, preferred_element_type=jnp.int32
+    )  # (4, Q, m)
+    s_sum = jnp.sum(signs.astype(jnp.int32), axis=1)  # (Q,)
+    acc = jnp.zeros(dots.shape[1:], jnp.uint32)
     for j in range(4):
-        term = (dots[j, 0] + 128 * s_sum).astype(jnp.uint32)
+        term = (dots[j] + 128 * s_sum[:, None]).astype(jnp.uint32)
         acc = acc + (term << np.uint32(8 * j))
     return acc
 

@@ -46,3 +46,26 @@ def test_device_client_round_trip(prg_mode, rng):
             except ArithmeticOverflowAddingQueryIndicator:
                 pass
         assert client.process_response(key, server.respond(q)) == db[key]
+
+
+@pytest.mark.parametrize("device", [False, True])
+def test_query_batch_round_trip(device, rng):
+    db = generate_random_kv_database(400, rng=rng, value_byte_len=(1, 64))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams, device=device)
+
+    keys = list(db.keys())[:5]
+    queries = client.query_batch(keys)
+    assert len(queries) == len(keys)
+    for key, q in zip(keys, queries):
+        assert client.process_response(key, server.respond(q)) == db[key]
+
+    # duplicate keys and already-pending keys are rejected
+    from chalametpir_tpu.errors import PendingQueryExistsForKey
+
+    with pytest.raises(PendingQueryExistsForKey):
+        client.query_batch([keys[0], keys[0]])
+    client.query_batch([keys[0]])  # ok again after processing
+    with pytest.raises(PendingQueryExistsForKey):
+        client.query_batch([keys[0]])
