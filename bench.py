@@ -289,10 +289,13 @@ def main() -> None:
     # carries the rate for attribution
     import jax.numpy as jnp
 
-    probe = np.zeros(32 << 20, np.int8)
-    t0 = time.perf_counter()
     h2d_rate = None
     try:
+        warm = jax.device_put(np.zeros(1 << 20, np.int8))
+        float(jnp.max(warm.astype(jnp.int32)))  # device init + queue drain
+        del warm
+        probe = np.zeros(32 << 20, np.int8)
+        t0 = time.perf_counter()
         d = jax.device_put(probe)
         float(jnp.max(d.astype(jnp.int32)))  # force the transfer to drain
         h2d_rate = round(probe.nbytes / (time.perf_counter() - t0) / 1e9, 4)

@@ -190,3 +190,46 @@ print("OK")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_response_decode_native_numpy_parity(rng):
+    """Native decrypt_decode_row must agree with the numpy decode sequence
+    (the fallback when the C engine is absent) on real protocol traffic."""
+    from chalametpir_tpu.core import codec, hashing, matrix_io
+    from chalametpir_tpu.native import engine as native
+    from chalametpir_tpu.params import query_indicator
+
+    db = generate_random_kv_database(300, rng=rng, value_byte_len=(1, 200))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    b = client._filter.mat_elem_bit_len
+
+    for key in list(db)[:5]:
+        while True:
+            try:
+                q = client.query(key)
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                continue
+        resp = matrix_io.matrix_from_bytes(server.respond(q))
+        vec_c = client._pending[key].vec_c
+        digest = hashing.hash_of_key(key)
+        fused = int(hashing.mix256(digest, client._filter.seed))
+
+        kv_native = native.decrypt_decode_row(resp[0], vec_c, b, fused)
+
+        rounding_factor = np.uint32(query_indicator(b))
+        rounding_floor = np.uint32(int(rounding_factor) // 2)
+        mask = np.uint32((1 << b) - 1)
+        unscaled = resp[0] - vec_c
+        scaled = unscaled // rounding_factor
+        rem = unscaled % rounding_factor
+        rounded = scaled + (rem > rounding_floor).astype(np.uint32)
+        mask_row = hashing.row_mask(fused, resp.shape[1], b)
+        plaintext = ((rounded & mask) + mask_row) & mask
+        kv_numpy = codec.decode_kv_from_row(plaintext, b)
+
+        assert kv_native == kv_numpy
+        assert kv_native[32:] == db[key]
+        assert client.process_response(key, matrix_io.matrix_to_bytes(resp)) == db[key]
