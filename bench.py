@@ -171,7 +171,19 @@ def make_respond_chain(server):
 
 def run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     """Run one divan config; returns a metrics dict. `emit(partial)` is
-    called as soon as the respond scan number exists."""
+    called as soon as the respond scan number exists. The GC freeze taken
+    while the config's DB dict is hot is undone afterwards so finished
+    configs stay collectable."""
+    import gc
+
+    try:
+        return _run_config(log_n, arity, value_len, rng, batch=batch, emit=emit)
+    finally:
+        gc.unfreeze()
+        gc.collect()
+
+
+def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     import jax  # noqa: F401
 
     from chalametpir_tpu import Client, Server
@@ -187,7 +199,8 @@ def run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     # the 2^20 dict pins >2M objects in the old generation; JAX
     # tracing/compilation allocates heavily, and every gen-2 collection
     # then scans millions of objects — freeze() exempts them (measured:
-    # this was most of a 20+ minute "compile")
+    # this was most of a 20+ minute "compile"). The caller unfreezes when
+    # the config is done so dead configs stay collectable.
     import gc
 
     gc.freeze()

@@ -108,28 +108,54 @@ def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
     """Run a (host-bound) iterator in a background thread, `depth` items
     ahead. The XOF squeeze is C code that releases the GIL, so the next A
     row block is squeezed while the device folds the current one into the
-    hint — host PRG and device matmul overlap instead of serialising."""
+    hint — host PRG and device matmul overlap instead of serialising.
+
+    Abandoning the generator early (consumer raises / GeneratorExit) stops
+    the producer and reaps the thread — otherwise it would block forever
+    on the bounded queue, pinning itself and its buffered blocks."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            stop_item = _END
         except BaseException as e:  # surface errors on the consumer side
-            q.put(e)
+            stop_item = e
+        while not stop.is_set():
+            try:
+                q.put(stop_item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # unblock a producer stuck on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)

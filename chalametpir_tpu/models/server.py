@@ -31,6 +31,8 @@ from ..errors import (
 )
 from ..params import (
     LWE_DIMENSION,
+    MAX_CIPHER_TEXT_BIT_LEN,
+    MIN_CIPHER_TEXT_BIT_LEN,
     SEED_BYTE_LEN,
     SERVER_SETUP_MAX_ATTEMPT_COUNT,
     find_mat_elem_bit_len,
@@ -113,8 +115,19 @@ class Server:
         # every gen-2 collection then walks the whole dict. Suspend the
         # collector for the duration (no cycles are created that must be
         # reclaimed mid-setup; anything cyclic is collected on exit).
+        if mat_elem_bit_len is not None and not (
+            MIN_CIPHER_TEXT_BIT_LEN <= mat_elem_bit_len <= MAX_CIPHER_TEXT_BIT_LEN
+        ):
+            from ..errors import ImpossibleEncodedDBMatrixElementBitLength
+
+            raise ImpossibleEncodedDBMatrixElementBitLength()
+
         with _gc_paused():
-            bit_len = mat_elem_bit_len or find_mat_elem_bit_len(len(db))
+            bit_len = (
+                mat_elem_bit_len
+                if mat_elem_bit_len is not None
+                else find_mat_elem_bit_len(len(db))
+            )
             with telemetry.span("server_setup.encode_db", entries=len(db), b=bit_len):
                 mat_d, filt = encode_db.from_kv_database(
                     db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng

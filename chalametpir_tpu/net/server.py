@@ -45,7 +45,9 @@ class BatchDispatcher:
         self.batches = 0  # served batch count (observability/tests)
 
     async def submit(self, query_bytes: bytes) -> bytes:
-        if self._task is None:
+        # restart the worker if it died (cancellation, loop teardown, bug)
+        # — otherwise every future submit would await a never-set future
+        if self._task is None or self._task.done():
             self._task = asyncio.create_task(self._worker())
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         # parse/validate on the submitting task so framing errors surface
@@ -61,22 +63,38 @@ class BatchDispatcher:
         return await fut
 
     async def _worker(self):
-        while True:
-            batch = [await self._queue.get()]
-            while len(batch) < self._max_batch and not self._queue.empty():
-                batch.append(self._queue.get_nowait())
-            rows = np.stack([q for q, _ in batch])
-            try:
-                out = await asyncio.to_thread(self._server.respond_batch, rows)
-            except Exception as exc:  # propagate to every waiter
-                for _, fut in batch:
+        batch = []
+        try:
+            while True:
+                batch = [await self._queue.get()]
+                while len(batch) < self._max_batch and not self._queue.empty():
+                    batch.append(self._queue.get_nowait())
+                try:
+                    rows = np.stack([q for q, _ in batch])
+                    out = await asyncio.to_thread(self._server.respond_batch, rows)
+                except Exception as exc:  # propagate to every waiter
+                    for _, fut in batch:
+                        if not fut.done():
+                            fut.set_exception(exc)
+                    batch = []
+                    continue
+                self.batches += 1
+                for i, (_, fut) in enumerate(batch):
                     if not fut.done():
-                        fut.set_exception(exc)
-                continue
-            self.batches += 1
-            for i, (_, fut) in enumerate(batch):
+                        fut.set_result(matrix_io.matrix_to_bytes(out[i][None, :]))
+                batch = []
+        finally:
+            # worker is exiting (cancelled / loop teardown): fail the batch
+            # in hand and everything still queued so no submitter hangs
+            pending = [f for _, f in batch]
+            while not self._queue.empty():
+                try:
+                    pending.append(self._queue.get_nowait()[1])
+                except asyncio.QueueEmpty:
+                    break
+            for fut in pending:
                 if not fut.done():
-                    fut.set_result(matrix_io.matrix_to_bytes(out[i][None, :]))
+                    fut.set_exception(ConnectionError("batch dispatcher stopped"))
 
 DEMO_DB = {
     b"apple": b"red", b"banana": b"yellow", b"grape": b"purple",

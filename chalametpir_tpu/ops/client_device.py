@@ -35,8 +35,12 @@ from ..params import LWE_DIMENSION
 
 
 def _jax():
-    import jax
+    try:
+        import jax
+    except Exception as e:  # pragma: no cover - host-only deploy
+        from ..errors import AcceleratorError
 
+        raise AcceleratorError(f"device client requested but jax unavailable: {e}")
     return jax
 
 

@@ -43,6 +43,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@partial(jax.jit, donate_argnums=0)
+def _write_rows(buf, chunk, r0):
+    """Donated row-range write: lands an uploaded chunk in the
+    pre-allocated plane without ever holding two copies."""
+    import jax.numpy as jnp
+
+    return jax.lax.dynamic_update_slice(buf, chunk, (r0, jnp.int32(0)))
+
+
 @dataclass
 class PallasDB:
     """Device-resident packed DB in the kernel's native layout."""
@@ -89,28 +98,34 @@ def build_pallas_db(
     pack = hi_pack_factor(mat_elem_bit_len) if hb > 0 else 0
     bits = (8 // pack if pack > 1 else 8) if pack else 0
 
+    import jax.numpy as jnp
+
     chunk_rows = _round_up(chunk_rows, tile_k)
-    # unsharded chunks ship a TIGHT lo (no zero columns/rows) and pad on
-    # device — the host link is ~4 orders slower than an HBM pad copy
+    # unsharded chunks ship a TIGHT lo (no zero columns/rows) and land in a
+    # pre-allocated device buffer via donated dynamic_update_slice — the
+    # host link is ~4 orders slower than an HBM copy, and accumulating
+    # chunks for a concatenate would double the peak HBM footprint
     tight = _native is not None and mat.dtype == np.uint16 and sharding is None
+    if tight:
+        pc = (c_pad // pack if pack > 1 else c_pad) if hb > 0 else 0
+        lo_dev = jnp.zeros((m_pad, c_pad), jnp.int8)
+        hi_dev = jnp.zeros((m_pad, pc), jnp.uint8) if hb > 0 else None
+        for r0 in range(0, m, chunk_rows):
+            rows_pad = min(chunk_rows, m_pad - r0)
+            rows = min(rows_pad, m - r0)
+            lo_host, hi_host = _native.build_packed_planes(
+                mat[r0 : r0 + rows], rows_pad, c_pad, pack, bits, tight_lo=True
+            )
+            lo_dev = _write_rows(lo_dev, jax.device_put(lo_host), r0)
+            if hb > 0:
+                hi_dev = _write_rows(hi_dev, jax.device_put(hi_host), r0)
+        return PallasDB(lo_dev, hi_dev, mat_elem_bit_len, m, c, tile_k)
+
     lo_chunks, hi_chunks = [], []
     for r0 in range(0, m_pad, chunk_rows):
         rows_pad = min(chunk_rows, m_pad - r0)
         rows = max(0, min(rows_pad, m - r0))
         sub = mat[r0 : r0 + rows]
-        if tight and rows > 0:
-            lo_host, hi_host = _native.build_packed_planes(
-                sub, rows_pad, c_pad, pack, bits, tight_lo=True
-            )
-            lo_dev = jax.device_put(lo_host)
-            import jax.numpy as jnp
-
-            lo_chunks.append(
-                jnp.pad(lo_dev, ((0, rows_pad - rows), (0, c_pad - c)))
-            )
-            if hb > 0:
-                hi_chunks.append(jax.device_put(hi_host))
-            continue
         if _native is not None and rows > 0:
             lo_host, hi_host = _native.build_packed_planes(sub, rows_pad, c_pad, pack, bits)
         else:
@@ -136,8 +151,6 @@ def build_pallas_db(
                 pc = c_pad // pack if pack > 1 else c_pad
                 hi_host = np.zeros((rows_pad, pc), np.uint8)
             hi_chunks.append(jax.device_put(hi_host, sharding))
-
-    import jax.numpy as jnp
 
     lo_dev = lo_chunks[0] if len(lo_chunks) == 1 else jnp.concatenate(lo_chunks, axis=0)
     hi_dev = None

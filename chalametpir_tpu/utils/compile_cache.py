@@ -25,16 +25,22 @@ def enable_compile_cache() -> None:
         _DONE = True
         return
     _DONE = True
-    import jax
-
     cache_dir = os.environ.get("CHALAMETPIR_COMPILE_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "chalametpir_tpu", "xla_cache"
     )
     try:
+        import jax
+
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything that took measurable compile time
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # full tracebacks bake CALLER source locations into the serialized
+        # program (inside Pallas/Mosaic kernel payloads the cache key
+        # cannot canonicalize away), so any edit to any caller produced a
+        # different key and a fresh multi-minute remote compile — measured
+        # repeatedly before this was traced down
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # pragma: no cover - never let caching break serving
         pass
