@@ -164,6 +164,35 @@ class Server:
             db = build_sharded_pallas_db(mesh, mat_d, bit_len)
         m_pad = db.lo.shape[0]
 
+        if prg_mode == "ctr":
+            # A never exists on the host: every shard regenerates the slab
+            # from the seed on device and folds its local column range
+            import jax.numpy as jnp
+
+            from ..ops import prg_jax
+            from ..parallel import sharded_hint_ctr_packed_fn
+
+            rows_per_step = min(128, LWE_DIMENSION)
+            seed_words = prg_jax.seed_to_words(seed)
+            hint_step = sharded_hint_ctr_packed_fn(mesh, db, rows_per_step, m)
+            hint_parts = []
+            with telemetry.span("server_setup.hint_sharded_ctr", m_pad=m_pad):
+                for r0 in range(0, LWE_DIMENSION, rows_per_step):
+                    word0 = r0 * m
+                    blk0 = (word0 * 4) // 168
+                    blk0_words = jnp.asarray(
+                        np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32)
+                    )
+                    out = hint_step(
+                        seed_words, blk0_words, jnp.int32(word0 - blk0 * 42)
+                    )
+                    r = min(rows_per_step, LWE_DIMENSION - r0)
+                    hint_parts.append((r, out))
+                hint = np.concatenate(
+                    [np.asarray(h)[:r] for r, h in hint_parts], axis=0
+                ).astype(np.uint32)
+            return cls("jax", db, m, cols, bit_len, "packed", mesh=mesh), hint
+
         hint_step = sharded_hint_packed_fn(mesh, db)
         block_rows = max(1, (16 << 20) // max(1, 4 * m))
         block_rows = min(block_rows, LWE_DIMENSION)

@@ -223,6 +223,71 @@ def sharded_hint_packed_fn(mesh: Mesh, db):
     return lambda a: jitted(a, db.lo, db.hi)
 
 
+def sharded_hint_ctr_packed_fn(mesh: Mesh, db, rows_per_step: int, m: int):
+    """jit'd ctr-mode hint step over the packed planes: every shard
+    regenerates the full (rows_per_step, m) A slab from the 32-byte seed
+    on device (the Pallas Keccak is fast and embarrassingly parallel;
+    regenerating beats shipping A over the host link or reshuffling a
+    flat ctr stream into column shards), slices its local column range,
+    and contributes a packed partial that psums over ICI.
+
+    Byte-compatible with single-chip ctr mode: the A derivation is
+    identical, only who computes which slice differs."""
+    import numpy as np_  # noqa: F401 - local alias for clarity
+
+    from ..ops import prg_jax
+
+    model = mesh.shape["model"]
+    m_pad = db.lo.shape[0]
+    cols_local = m_pad // model
+    specs_db = P("model", None)
+
+    def _gen_local(seed_words, blk0_words, offset):
+        slab = prg_jax.rows_from_blocks(
+            seed_words, blk0_words, offset, rows_per_step, m
+        )
+        # pad the global slab to m_pad, then take this shard's column range
+        slab = jnp.pad(slab, ((0, 0), (0, m_pad - m)))
+        s = jax.lax.axis_index("model")
+        return jax.lax.dynamic_slice(
+            slab, (0, s * cols_local), (rows_per_step, cols_local)
+        )
+
+    if db.hi is None:
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), specs_db),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+        def _step(seed_words, blk0_words, offset, lo):
+            a_local = _gen_local(seed_words, blk0_words, offset)
+            return jax.lax.psum(_packed_partial_i32(a_local, lo, None, db), "model")
+
+        jitted = jax.jit(
+            lambda sw, bw, off, lo: _step(sw, bw, off, lo).astype(jnp.uint32)
+        )
+        return lambda sw, bw, off: jitted(sw, bw, off, db.lo)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), specs_db, specs_db),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def _step(seed_words, blk0_words, offset, lo, hi):
+        a_local = _gen_local(seed_words, blk0_words, offset)
+        return jax.lax.psum(_packed_partial_i32(a_local, lo, hi, db), "model")
+
+    jitted = jax.jit(
+        lambda sw, bw, off, lo, hi: _step(sw, bw, off, lo, hi).astype(jnp.uint32)
+    )
+    return lambda sw, bw, off: jitted(sw, bw, off, db.lo, db.hi)
+
+
 def sharded_hint_accumulate_fn(mesh: Mesh):
     """jit'd hint-matmul step: acc (R, C) int32 += A_block (R, m) u32 . D.
 
