@@ -151,6 +151,31 @@ def _packed_partial_i32(queries_local, lo_local, hi_local, db):
     )
 
 
+def _sharded_packed_fn(mesh: Mesh, db, lead_specs: tuple, body, out_specs=P(None, None)):
+    """Shared scaffolding for the packed shard_map kernels: `body` maps
+    (lead args..., lo, hi_or_None) -> local int32 partial; the wrapper
+    psums over `model`, jits with the planes as call-time ARGUMENTS (not
+    closure constants, so one compiled program serves every database of a
+    geometry), and closes over db only at call time."""
+    planes = (db.lo,) if db.hi is None else (db.lo, db.hi)
+    in_specs = lead_specs + (P("model", None),) * len(planes)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def _mapped(*args):
+        lead, ps = args[: len(lead_specs)], args[len(lead_specs) :]
+        lo, hi = ps[0], (ps[1] if len(ps) > 1 else None)
+        return jax.lax.psum(body(*lead, lo, hi), "model")
+
+    jitted = jax.jit(lambda *args: _mapped(*args).astype(jnp.uint32))
+    return lambda *lead: jitted(*lead, *planes)
+
+
 def sharded_respond_packed_fn(mesh: Mesh, db):
     """jit'd (Q, m_pad) -> (Q, c) uint32 over the packed planes: queries
     sharded (data, model), DB rows sharded over model, exact int32 psum.
@@ -158,69 +183,23 @@ def sharded_respond_packed_fn(mesh: Mesh, db):
     Callers must pad queries to db.lo.shape[0] columns (zero pad — padded
     DB rows are zero, padded query digits are zero, so the tail
     contributes nothing)."""
-    specs_db = P("model", None)
-    if db.hi is None:
 
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P("data", "model"), specs_db),
-            out_specs=P("data", None),
-            check_vma=False,
-        )
-        def _respond(queries, lo):
-            return jax.lax.psum(_packed_partial_i32(queries, lo, None, db), "model")
+    def body(queries, lo, hi):
+        return _packed_partial_i32(queries, lo, hi, db)
 
-        # planes passed as call-time ARGUMENTS (not jit closure constants)
-        # so the compiled program is shared across databases
-        jitted = jax.jit(lambda q, lo: _respond(q, lo).astype(jnp.uint32))
-        return lambda q: jitted(q, db.lo)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("data", "model"), specs_db, specs_db),
-        out_specs=P("data", None),
-        check_vma=False,
+    return _sharded_packed_fn(
+        mesh, db, (P("data", "model"),), body, out_specs=P("data", None)
     )
-    def _respond(queries, lo, hi):
-        return jax.lax.psum(_packed_partial_i32(queries, lo, hi, db), "model")
-
-    jitted = jax.jit(lambda q, lo, hi: _respond(q, lo, hi).astype(jnp.uint32))
-    return lambda q: jitted(q, db.lo, db.hi)
 
 
 def sharded_hint_packed_fn(mesh: Mesh, db):
     """jit'd hint step over the packed planes: an A row block is a batch of
     'queries' replicated over `data`, columns sharded over `model`."""
-    specs_db = P("model", None)
-    if db.hi is None:
 
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(None, "model"), specs_db),
-            out_specs=P(None, None),
-            check_vma=False,
-        )
-        def _step(a_block, lo):
-            return jax.lax.psum(_packed_partial_i32(a_block, lo, None, db), "model")
+    def body(a_block, lo, hi):
+        return _packed_partial_i32(a_block, lo, hi, db)
 
-        jitted = jax.jit(lambda a, lo: _step(a, lo).astype(jnp.uint32))
-        return lambda a: jitted(a, db.lo)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(None, "model"), specs_db, specs_db),
-        out_specs=P(None, None),
-        check_vma=False,
-    )
-    def _step(a_block, lo, hi):
-        return jax.lax.psum(_packed_partial_i32(a_block, lo, hi, db), "model")
-
-    jitted = jax.jit(lambda a, lo, hi: _step(a, lo, hi).astype(jnp.uint32))
-    return lambda a: jitted(a, db.lo, db.hi)
+    return _sharded_packed_fn(mesh, db, (P(None, "model"),), body)
 
 
 def sharded_hint_ctr_packed_fn(mesh: Mesh, db, rows_per_step: int, m: int):
@@ -233,59 +212,25 @@ def sharded_hint_ctr_packed_fn(mesh: Mesh, db, rows_per_step: int, m: int):
 
     Byte-compatible with single-chip ctr mode: the A derivation is
     identical, only who computes which slice differs."""
-    import numpy as np_  # noqa: F401 - local alias for clarity
-
     from ..ops import prg_jax
 
     model = mesh.shape["model"]
     m_pad = db.lo.shape[0]
     cols_local = m_pad // model
-    specs_db = P("model", None)
 
-    def _gen_local(seed_words, blk0_words, offset):
+    def body(seed_words, blk0_words, offset, lo, hi):
         slab = prg_jax.rows_from_blocks(
             seed_words, blk0_words, offset, rows_per_step, m
         )
         # pad the global slab to m_pad, then take this shard's column range
         slab = jnp.pad(slab, ((0, 0), (0, m_pad - m)))
         s = jax.lax.axis_index("model")
-        return jax.lax.dynamic_slice(
+        a_local = jax.lax.dynamic_slice(
             slab, (0, s * cols_local), (rows_per_step, cols_local)
         )
+        return _packed_partial_i32(a_local, lo, hi, db)
 
-    if db.hi is None:
-
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), specs_db),
-            out_specs=P(None, None),
-            check_vma=False,
-        )
-        def _step(seed_words, blk0_words, offset, lo):
-            a_local = _gen_local(seed_words, blk0_words, offset)
-            return jax.lax.psum(_packed_partial_i32(a_local, lo, None, db), "model")
-
-        jitted = jax.jit(
-            lambda sw, bw, off, lo: _step(sw, bw, off, lo).astype(jnp.uint32)
-        )
-        return lambda sw, bw, off: jitted(sw, bw, off, db.lo)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), specs_db, specs_db),
-        out_specs=P(None, None),
-        check_vma=False,
-    )
-    def _step(seed_words, blk0_words, offset, lo, hi):
-        a_local = _gen_local(seed_words, blk0_words, offset)
-        return jax.lax.psum(_packed_partial_i32(a_local, lo, hi, db), "model")
-
-    jitted = jax.jit(
-        lambda sw, bw, off, lo, hi: _step(sw, bw, off, lo, hi).astype(jnp.uint32)
-    )
-    return lambda sw, bw, off: jitted(sw, bw, off, db.lo, db.hi)
+    return _sharded_packed_fn(mesh, db, (P(), P(), P()), body)
 
 
 def sharded_hint_accumulate_fn(mesh: Mesh):
