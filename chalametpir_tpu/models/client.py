@@ -120,9 +120,11 @@ class Client:
 
         secret_s = self._sample_ternary(LWE_DIMENSION)
         if self._engine is not None:
-            b_base = self._engine.matvec(secret_s)
-        else:
-            b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
+            # dispatch s.A on device, overlap the host-side error sampling
+            # and unblinding matvec with the device dot + readback
+            b_dev = self._engine.matvec_batch_async(secret_s[None, :])
+            return self._finalize_query(key, secret_s, b_dev)
+        b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
         return self._finalize_query(key, secret_s, b_base)
 
     def query_batch(self, keys: list[bytes]) -> list[bytes]:
@@ -158,18 +160,27 @@ class Client:
                         continue
         return out
 
-    def _finalize_query(self, key: bytes, secret_s: np.ndarray, b_base: np.ndarray) -> bytes:
+    def _finalize_query(self, key: bytes, secret_s: np.ndarray, b_base) -> bytes:
         """Add the error vector and the query indicator, record the
         pending unblinding vector (reference: client.rs:106-139). Raises
         the overflow error with no state change; callers retry with a
-        fresh secret."""
+        fresh secret.
+
+        b_base may be a host (m,) array or an in-flight device array (from
+        matvec_batch_async) — all host-only work (error sampling, the s.M
+        matvec, key hashing) runs before it is materialised, so it
+        overlaps the device dot and readback."""
         m = self._filter.num_fingerprints
         error_e = self._sample_ternary_u32(m)
-        query_b = b_base + error_e
         vec_c = self._ternary_matvec(secret_s, self._hint_mat_m)
 
         digest = hashing.hash_of_key(key)
         fused = int(hashing.mix256(digest, self._filter.seed))
+
+        b_host = np.asarray(b_base)
+        if b_host.ndim == 2:  # async device result: (1, m_pad)
+            b_host = b_host[0, :m]
+        query_b = b_host.astype(np.uint32) + error_e
         rows = hash_batch(
             self._filter.arity,
             np.uint64(fused),

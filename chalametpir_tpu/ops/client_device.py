@@ -141,6 +141,12 @@ class DeviceQueryEngine:
     def matvec_batch(self, codes: np.ndarray) -> np.ndarray:
         """(Q, k) ternary codes -> (Q, m) uint32; all Q secrets ride one
         batched einsum (the A planes stream from HBM once per batch)."""
+        return np.asarray(self.matvec_batch_async(codes)).astype(np.uint32)
+
+    def matvec_batch_async(self, codes: np.ndarray):
+        """Dispatch the batched matvec and return the device array without
+        waiting — callers overlap host work (error sampling, the s . M
+        unblinding matvec) with the device dot and the d2h readback."""
         jax = _jax()
 
         if codes.ndim != 2 or codes.shape[1] != self.k:
@@ -150,8 +156,7 @@ class DeviceQueryEngine:
         q = codes.shape[0]
         signs = np.zeros((q, self.k_pad), np.int8)
         signs[:, : self.k] = np.where(codes == 2, -1, codes).astype(np.int8)
-        out = _ternary_planes_matvec(jax.device_put(signs), self._planes)
-        return np.asarray(out).astype(np.uint32)
+        return _ternary_planes_matvec(jax.device_put(signs), self._planes)
 
 
 def _ternary_planes_matvec_impl(signs, planes):
