@@ -252,12 +252,13 @@ class Server:
             if prg_mode == "ctr":
                 from ..ops import prg_jax
 
-                # A is generated on-device, so slabs are bounded by HBM,
-                # not the host link. Bigger slabs mean fewer dispatches
-                # (each costs ~50-100 ms of queue latency through the
-                # tunnel); cap the slab at ~2 GB of HBM.
-                rows_per_step = int(min(448, max(64, (2 << 30) // (4 * m))))
-                rows_per_step = min(rows_per_step, LWE_DIMENSION)
+                # A is generated on-device (Pallas Keccak), so slabs are
+                # bounded by HBM, not the host link: 128 rows of A is
+                # ~0.6 GB at the largest single-chip DB. (Bigger slabs
+                # would save a few tunnel dispatches, but every program
+                # shape costs a remote compile on first use — 128 stays
+                # aligned with the warmed cache.)
+                rows_per_step = min(128, LWE_DIMENSION)
                 n_steps = -(-LWE_DIMENSION // rows_per_step)
                 pad_rows = n_steps * rows_per_step
                 seed_words = prg_jax.seed_to_words(seed)
