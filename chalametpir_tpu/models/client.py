@@ -213,27 +213,39 @@ class Client:
             raise InvalidResponseVector()
 
         b = self._filter.mat_elem_bit_len
+
+        if _native is not None:
+            # single native crossing: hash + fold + decrypt + decode +
+            # digest check (the multi-call path costs ~5x in dispatch)
+            try:
+                result = _native.client_process_response(
+                    key, self._filter.seed, response[0], pending.vec_c, b
+                )
+            finally:
+                del self._pending[key]
+            if result == -1:
+                from ..errors import RowNotDecodable
+
+                raise RowNotDecodable()
+            if result == -2:
+                raise DecodedRowNotPrependedWithDigestOfKey()
+            return result
+
+        # numpy fallback (no native engine)
         digest = hashing.hash_of_key(key)
         fused = int(hashing.mix256(digest, self._filter.seed))
 
         try:
-            if _native is not None:
-                kv = _native.decrypt_decode_row(response[0], pending.vec_c, b, fused)
-                if kv is None:
-                    from ..errors import RowNotDecodable
-
-                    raise RowNotDecodable()
-            else:
-                rounding_factor = np.uint32(query_indicator(b))
-                rounding_floor = np.uint32(int(rounding_factor) // 2)
-                mask = np.uint32((1 << b) - 1)
-                unscaled = response[0] - pending.vec_c  # uint32 wrap
-                scaled = unscaled // rounding_factor
-                rem = unscaled % rounding_factor
-                rounded = scaled + (rem > rounding_floor).astype(np.uint32)
-                mask_row = hashing.row_mask(fused, response.shape[1], b)
-                plaintext = ((rounded & mask) + mask_row) & mask
-                kv = codec.decode_kv_from_row(plaintext, b)
+            rounding_factor = np.uint32(query_indicator(b))
+            rounding_floor = np.uint32(int(rounding_factor) // 2)
+            mask = np.uint32((1 << b) - 1)
+            unscaled = response[0] - pending.vec_c  # uint32 wrap
+            scaled = unscaled // rounding_factor
+            rem = unscaled % rounding_factor
+            rounded = scaled + (rem > rounding_floor).astype(np.uint32)
+            mask_row = hashing.row_mask(fused, response.shape[1], b)
+            plaintext = ((rounded & mask) + mask_row) & mask
+            kv = codec.decode_kv_from_row(plaintext, b)
         finally:
             # the reference removes the pending query on success and on
             # decode failure alike (client.rs:267)

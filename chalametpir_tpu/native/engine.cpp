@@ -559,6 +559,30 @@ int64_t decrypt_decode_row(const uint32_t* resp, const uint32_t* c,
   return boundary;
 }
 
+// Entire client response handling in ONE call (reference:
+// client.rs:209-275): hash the key, fold with the filter seed, decrypt
+// and decode the row, verify the 32-byte digest prefix. Returns the
+// value length (out holds digest || value), -1 when the row fails to
+// decode, -2 when the digest prefix mismatches. One ctypes crossing
+// instead of four keeps the per-response cost in the tens of
+// microseconds.
+int64_t client_process_response(const uint8_t* key, int64_t key_len,
+                                const uint8_t* filter_seed32,
+                                const uint32_t* resp, const uint32_t* c,
+                                int64_t cols, int32_t b, uint8_t* out) {
+  uint8_t digest[32];
+  Xof x;
+  xof_init(&x, key, key_len);
+  xof_squeeze(&x, digest, 32);
+  uint64_t key_words[4];
+  std::memcpy(key_words, digest, 32);
+  const uint64_t fused = mix256_scalar(key_words, filter_seed32);
+  const int64_t n = decrypt_decode_row(resp, c, cols, b, fused, out);
+  if (n < 0) return -1;
+  if (n < 32 || std::memcmp(out, digest, 32) != 0) return -2;
+  return n - 32;
+}
+
 // murmur64(h + col) & mask for a whole row (response unmask path).
 void mix_row_mask(uint64_t h, int64_t cols, uint32_t mask, uint32_t* out) {
   for (int64_t c = 0; c < cols; ++c)

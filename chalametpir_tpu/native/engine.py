@@ -77,6 +77,10 @@ _lib.decrypt_decode_row.restype = ctypes.c_int64
 _lib.decrypt_decode_row.argtypes = [
     _u32p, _u32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64, _u8p,
 ]
+_lib.client_process_response.restype = ctypes.c_int64
+_lib.client_process_response.argtypes = [
+    _u8p, ctypes.c_int64, _u8p, _u32p, _u32p, ctypes.c_int64, ctypes.c_int32, _u8p,
+]
 _lib.pir_alloc_populated.restype = ctypes.c_void_p
 _lib.pir_alloc_populated.argtypes = [ctypes.c_int64]
 _lib.pir_free_populated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -283,6 +287,27 @@ def decrypt_decode_row(resp: np.ndarray, vec_c: np.ndarray, b: int, h: int) -> b
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def client_process_response(
+    key: bytes, filter_seed: bytes, resp: np.ndarray, vec_c: np.ndarray, b: int
+) -> bytes | int:
+    """Full response handling in one native call: hash key, fold with the
+    filter seed, decrypt+decode, verify the digest prefix. Returns the
+    value bytes, or -1 (not decodable) / -2 (digest mismatch)."""
+    kb = np.frombuffer(key, np.uint8) if key else np.zeros(1, np.uint8)
+    sb = np.frombuffer(filter_seed, np.uint8)
+    resp = np.ascontiguousarray(resp, np.uint32)
+    vec_c = np.ascontiguousarray(vec_c, np.uint32)
+    cols = resp.shape[0]
+    out = np.zeros((cols * b) // 8 + 1, np.uint8)
+    n = _lib.client_process_response(
+        _ptr(kb, _u8p), len(key), _ptr(sb, _u8p),
+        _ptr(resp, _u32p), _ptr(vec_c, _u32p), cols, b, _ptr(out, _u8p),
+    )
+    if n < 0:
+        return int(n)
+    return out[32 : 32 + n].tobytes()
 
 
 def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:
