@@ -91,6 +91,7 @@ def make_respond_chain(server):
 
         db = server._planes
         m_pad = db.lo.shape[0]
+        interp = jax.default_backend() == "cpu"
 
         # planes are call-time jit arguments: captured arrays would bake the
         # database into the program hash (fresh remote compile per DB)
@@ -99,7 +100,7 @@ def make_respond_chain(server):
             @jax.jit
             def chain_lo(qd, k, lo):
                 def body(i, qd):
-                    out = _run_lo_only(qd, lo, db.tile_k, False)
+                    out = _run_lo_only(qd, lo, db.tile_k, interp)
                     return qd ^ (jnp.max(out) & 1).astype(jnp.int8)
 
                 return jnp.max(jax.lax.fori_loop(0, k, body, qd))
@@ -113,7 +114,7 @@ def make_respond_chain(server):
             @jax.jit
             def chain_hi(qd, k, lo, hi):
                 def body(i, qd):
-                    out = _run_with_hi(qd, lo, hi, db.tile_k, pack, bits, False)[0]
+                    out = _run_with_hi(qd, lo, hi, db.tile_k, pack, bits, interp)[0]
                     return qd ^ (jnp.max(out) & 1).astype(jnp.int8)
 
                 return jnp.max(jax.lax.fori_loop(0, k, body, qd))
