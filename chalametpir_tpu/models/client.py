@@ -11,6 +11,7 @@ vice versa.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -46,9 +47,18 @@ def _accelerator_present() -> bool:
 @dataclass
 class Query:
     """Pending-query state: the secret unblinding vector c = s . M
-    (reference: client.rs:13-15)."""
+    (reference: client.rs:13-15). c_ptr caches the raw data address so
+    the native response path never touches arr.ctypes on the hot path."""
 
     vec_c: np.ndarray
+    c_ptr: int = 0
+
+    def __post_init__(self):
+        if not self.c_ptr:
+            vec = np.ascontiguousarray(self.vec_c, np.uint32)
+            if vec is not self.vec_c:
+                self.vec_c = vec
+            self.c_ptr = vec.ctypes.data
 
 
 class Client:
@@ -64,6 +74,17 @@ class Client:
         self._filter = filt
         self._engine = device_engine
         self._pending: dict[bytes, Query] = {}
+        # FrodoPIR query preprocessing (ia.cr/2022/981: the (b, c) pair is
+        # key-independent, so the paper's client prepares it offline; the
+        # reference computes it lazily inside query(), client.rs:106-107,
+        # and exposes discard/insert bench hooks for exactly this split,
+        # client.rs:60-71). Entries are (query_b = s.A + e, vec_c = s.M).
+        self._prepared: list[tuple[np.ndarray, np.ndarray]] = []
+        self._prepared_lock = threading.Lock()
+        self._refill_target = 0
+        self._refill_thread: threading.Thread | None = None
+        self._resp_out: np.ndarray | None = None  # reused decode buffer
+        self._resp_out_ptr = 0
 
     @classmethod
     def setup(
@@ -73,6 +94,8 @@ class Client:
         filter_param_bytes: bytes,
         prg_mode: str = "stream",
         device: bool | str = "auto",
+        prepared_queries: int = 0,
+        auto_refill: bool = False,
     ) -> "Client":
         """Regenerate A from the seed, parse the hint
         (reference: client.rs:39-57). `prg_mode` must match the server's
@@ -82,7 +105,12 @@ class Client:
         True -> TPU (in ctr mode A is generated on device and never
         crosses the host link; in stream mode the host XOF expands it once
         and uploads); False -> host numpy/native; "auto" -> TPU whenever an
-        accelerator backend is present."""
+        accelerator backend is present.
+
+        prepared_queries > 0 runs FrodoPIR's offline query preprocessing
+        for that many future queries as part of setup (one batched MXU
+        matvec); query() then answers from the pool in O(m) time.
+        auto_refill keeps the pool topped up from a background thread."""
         if len(seed) != SEED_BYTE_LEN:
             raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
         filt = BinaryFuseFilter.from_bytes(filter_param_bytes)
@@ -102,10 +130,72 @@ class Client:
                     LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
                 )
                 engine = DeviceQueryEngine.from_host_matrix(a_host)
-            return cls(None, hint_mat_m, filt, device_engine=engine)
+            client = cls(None, hint_mat_m, filt, device_engine=engine)
+        else:
+            pub_mat_a = prg.expand_seed(
+                LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
+            )
+            client = cls(pub_mat_a, hint_mat_m, filt)
+        if prepared_queries > 0:
+            client.prepare_queries(prepared_queries)
+        if auto_refill:
+            client._refill_target = max(prepared_queries, 1)
+        return client
 
-        pub_mat_a = prg.expand_seed(LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode)
-        return cls(pub_mat_a, hint_mat_m, filt)
+    def prepare_queries(self, count: int) -> None:
+        """FrodoPIR offline query preprocessing (ia.cr/2022/981): compute
+        `count` key-independent (b = s.A + e, c = s.M) pairs and pool them.
+        All `count` secrets ride one batched matvec, so A streams from HBM
+        once per batch; the host-side error sampling and s.M unblinding
+        matvecs overlap the device dot and readback."""
+        if count <= 0:
+            return
+        m = self._filter.num_fingerprints
+        secrets = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in range(count)])
+        b_dev = None
+        if self._engine is not None:
+            b_dev = self._engine.matvec_batch_async(secrets)
+        errors = [self._sample_ternary_u32(m) for _ in range(count)]
+        vec_cs = [self._ternary_matvec(secrets[i], self._hint_mat_m) for i in range(count)]
+        if b_dev is not None:
+            b_batch = np.asarray(b_dev)[:, :m].astype(np.uint32)
+        else:
+            b_batch = np.stack(
+                [self._ternary_matvec(secrets[i], self._pub_mat_a) for i in range(count)]
+            )
+        entries = [(b_batch[i] + errors[i], vec_cs[i]) for i in range(count)]
+        with self._prepared_lock:
+            self._prepared.extend(entries)
+
+    @property
+    def prepared_query_count(self) -> int:
+        with self._prepared_lock:
+            return len(self._prepared)
+
+    def _pop_prepared(self):
+        with self._prepared_lock:
+            entry = self._prepared.pop() if self._prepared else None
+            depth = len(self._prepared)
+        if (
+            self._refill_target
+            and depth < self._refill_target
+            and (self._refill_thread is None or not self._refill_thread.is_alive())
+        ):
+            self._refill_thread = threading.Thread(
+                target=self._refill_loop, daemon=True
+            )
+            self._refill_thread.start()
+        return entry
+
+    def _refill_loop(self) -> None:
+        """Top the pool back up to the target, re-checking after each batch
+        so pops that happen mid-refill are also covered."""
+        while self._refill_target:
+            with self._prepared_lock:
+                need = self._refill_target - len(self._prepared)
+            if need <= 0:
+                return
+            self.prepare_queries(need)
 
     # -- query ---------------------------------------------------------------
 
@@ -113,10 +203,20 @@ class Client:
         """Build an encrypted query for `key`
         (reference: client.rs:84-194). Raises
         ArithmeticOverflowAddingQueryIndicator occasionally; callers retry
-        (the fresh secret makes the retry independent)."""
+        (the fresh secret makes the retry independent).
+
+        When the preprocessing pool has entries (see prepare_queries),
+        the online cost is just the indicator add + serialization; the
+        expensive s.A matvec happened offline. An entry consumed by a
+        query that overflows is discarded, preserving the reference's
+        fresh-randomness retry contract."""
         key = bytes(key)
         if key in self._pending:
             raise PendingQueryExistsForKey()
+
+        entry = self._pop_prepared()
+        if entry is not None:
+            return self._finalize_prepared(key, entry)
 
         secret_s = self._sample_ternary(LWE_DIMENSION)
         if self._engine is not None:
@@ -127,12 +227,55 @@ class Client:
         b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
         return self._finalize_query(key, secret_s, b_base)
 
+    def query_inline(self, key: bytes) -> bytes:
+        """query() but always computing s.A inline (never from the
+        preprocessing pool) — the reference's lazy evaluation order."""
+        key = bytes(key)
+        if key in self._pending:
+            raise PendingQueryExistsForKey()
+        secret_s = self._sample_ternary(LWE_DIMENSION)
+        if self._engine is not None:
+            b_dev = self._engine.matvec_batch_async(secret_s[None, :])
+            return self._finalize_query(key, secret_s, b_dev)
+        b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
+        return self._finalize_query(key, secret_s, b_base)
+
+    def _finalize_prepared(self, key: bytes, entry) -> bytes:
+        """Online phase over a preprocessed (b, c) pair: add the query
+        indicator at the key's filter rows (reference: client.rs:115-134)
+        and record the pending unblinding vector. The entry is consumed
+        either way; on overflow the caller retries and a fresh entry (or
+        the inline path) supplies fresh randomness."""
+        query_b, vec_c = entry
+        digest = hashing.hash_of_key(key)
+        fused = int(hashing.mix256(digest, self._filter.seed))
+        rows = hash_batch(
+            self._filter.arity,
+            np.uint64(fused),
+            self._filter.segment_length,
+            self._filter.segment_count_length,
+        )
+        delta = query_indicator(self._filter.mat_elem_bit_len)
+        totals = []
+        for r in rows:
+            total = int(query_b[int(r)]) + delta
+            if total > 0xFFFFFFFF:
+                raise ArithmeticOverflowAddingQueryIndicator()
+            totals.append((int(r), total))
+        for r, total in totals:
+            query_b[r] = total
+        self._pending[key] = Query(vec_c=vec_c)
+        return matrix_io.matrix_to_bytes(query_b[None, :])
+
     def query_batch(self, keys: list[bytes]) -> list[bytes]:
-        """Build queries for several keys at once. On a device client all
-        secrets ride one batched MXU matvec (A streams from HBM once per
-        batch instead of once per key); keys whose indicator overflows are
-        transparently retried with fresh randomness, preserving the
-        single-query retry contract."""
+        """Build queries for several keys at once. Preprocessed pool
+        entries are used first; the remainder ride one batched MXU matvec
+        (A streams from HBM once per batch instead of once per key). Keys
+        whose indicator overflows are transparently retried with fresh
+        randomness — bounded like the filter-construction retry loop
+        (params.rs:10); the per-retry overflow odds are ~arity/2^b, so the
+        cap is unreachable except under a logic bug, which then surfaces
+        as the error instead of a hang."""
         keys = [bytes(k) for k in keys]
         if len(set(keys)) != len(keys):
             raise PendingQueryExistsForKey()
@@ -140,24 +283,39 @@ class Client:
             if key in self._pending:
                 raise PendingQueryExistsForKey()
 
-        codes = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in keys])
-        if self._engine is not None:
-            b_batch = self._engine.matvec_batch(codes)
-        else:
-            b_batch = np.stack(
-                [self._ternary_matvec(c, self._pub_mat_a) for c in codes]
-            )
+        from ..params import SERVER_SETUP_MAX_ATTEMPT_COUNT
+
+        n_pool_target = len(keys)
+        pool_entries = []
+        with self._prepared_lock:
+            while self._prepared and len(pool_entries) < n_pool_target:
+                pool_entries.append(self._prepared.pop())
+        fresh_keys = keys[len(pool_entries) :]
+        if fresh_keys:
+            codes = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in fresh_keys])
+            if self._engine is not None:
+                b_batch = self._engine.matvec_batch(codes)
+            else:
+                b_batch = np.stack(
+                    [self._ternary_matvec(c, self._pub_mat_a) for c in codes]
+                )
         out = []
         for i, key in enumerate(keys):
             try:
-                out.append(self._finalize_query(key, codes[i], b_batch[i]))
+                if i < len(pool_entries):
+                    out.append(self._finalize_prepared(key, pool_entries[i]))
+                else:
+                    j = i - len(pool_entries)
+                    out.append(self._finalize_query(key, codes[j], b_batch[j]))
             except ArithmeticOverflowAddingQueryIndicator:
-                while True:
+                for attempt in range(SERVER_SETUP_MAX_ATTEMPT_COUNT):
                     try:
                         out.append(self.query(key))
                         break
                     except ArithmeticOverflowAddingQueryIndicator:
                         continue
+                else:
+                    raise
         return out
 
     def _finalize_query(self, key: bytes, secret_s: np.ndarray, b_base) -> bytes:
@@ -208,28 +366,38 @@ class Client:
         if pending is None:
             raise PendingQueryDoesNotExistForKey()
 
-        response = matrix_io.matrix_from_bytes(response_bytes)
-        if response.shape[0] != 1 or response.shape[1] != pending.vec_c.shape[0]:
-            raise InvalidResponseVector()
-
         b = self._filter.mat_elem_bit_len
 
         if _native is not None:
-            # single native crossing: hash + fold + decrypt + decode +
-            # digest check (the multi-call path costs ~5x in dispatch)
-            try:
-                result = _native.client_process_response(
-                    key, self._filter.seed, response[0], pending.vec_c, b
-                )
-            finally:
-                del self._pending[key]
+            # single native crossing, wire bytes straight in: header parse,
+            # hash, fold, decrypt, decode, digest check all in C (the
+            # multi-call path costs ~5x in dispatch alone)
+            cols = pending.vec_c.shape[0]
+            out_len = (cols * b) // 8 + 1
+            out = self._resp_out
+            if out is None or out.shape[0] < out_len:
+                out = self._resp_out = np.empty(out_len, np.uint8)
+                self._resp_out_ptr = out.ctypes.data
+            result = _native.client_process_response_wire(
+                key, self._filter.seed, response_bytes,
+                pending.c_ptr, cols, b, self._resp_out_ptr,
+            )
+            if result == -3:
+                # malformed response: the pending query survives, exactly
+                # like the reference's early-return (client.rs:210-217)
+                raise InvalidResponseVector()
+            del self._pending[key]
             if result == -1:
                 from ..errors import RowNotDecodable
 
                 raise RowNotDecodable()
             if result == -2:
                 raise DecodedRowNotPrependedWithDigestOfKey()
-            return result
+            return out[32 : 32 + result].tobytes()
+
+        response = matrix_io.matrix_from_bytes(response_bytes)
+        if response.shape[0] != 1 or response.shape[1] != pending.vec_c.shape[0]:
+            raise InvalidResponseVector()
 
         # numpy fallback (no native engine)
         digest = hashing.hash_of_key(key)

@@ -583,6 +583,29 @@ int64_t client_process_response(const uint8_t* key, int64_t key_len,
   return n - 32;
 }
 
+// Wire-level variant of client_process_response: takes the serialized
+// response (matrix wire format, matrix_io: rows:u32 LE || cols:u32 LE ||
+// elements) so the Python layer does no parsing at all — one native call
+// per response with zero numpy work on the hot path. Returns the value
+// length, -1 (row not decodable), -2 (digest prefix mismatch), or
+// -3 (malformed/mis-shaped response vector; the caller must keep the
+// pending query in that case, mirroring client.rs:210-217).
+int64_t client_process_response_wire(const uint8_t* key, int64_t key_len,
+                                     const uint8_t* filter_seed32,
+                                     const uint8_t* resp_bytes,
+                                     int64_t resp_len, const uint32_t* c,
+                                     int64_t cols, int32_t b, uint8_t* out) {
+  if (resp_len != 8 + 4 * cols) return -3;
+  uint32_t rows_field, cols_field;
+  std::memcpy(&rows_field, resp_bytes, 4);
+  std::memcpy(&cols_field, resp_bytes + 4, 4);
+  if (rows_field != 1 || cols_field != static_cast<uint32_t>(cols)) return -3;
+  // CPython bytes payloads are 8-aligned, so +8 keeps u32 alignment
+  const uint32_t* resp = reinterpret_cast<const uint32_t*>(resp_bytes + 8);
+  return client_process_response(key, key_len, filter_seed32, resp, c, cols,
+                                 b, out);
+}
+
 // murmur64(h + col) & mask for a whole row (response unmask path).
 void mix_row_mask(uint64_t h, int64_t cols, uint32_t mask, uint32_t* out) {
   for (int64_t c = 0; c < cols; ++c)

@@ -81,6 +81,15 @@ _lib.client_process_response.restype = ctypes.c_int64
 _lib.client_process_response.argtypes = [
     _u8p, ctypes.c_int64, _u8p, _u32p, _u32p, ctypes.c_int64, ctypes.c_int32, _u8p,
 ]
+# hot-path signature: bytes in, raw addresses for the arrays (c_char_p
+# conversion from bytes is ctypes' fastest zero-copy path; c_void_p takes
+# plain ints from arr.ctypes.data, skipping data_as() object churn)
+_lib.client_process_response_wire.restype = ctypes.c_int64
+_lib.client_process_response_wire.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
+    ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+    ctypes.c_void_p,
+]
 _lib.pir_alloc_populated.restype = ctypes.c_void_p
 _lib.pir_alloc_populated.argtypes = [ctypes.c_int64]
 _lib.pir_free_populated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -308,6 +317,29 @@ def client_process_response(
     if n < 0:
         return int(n)
     return out[32 : 32 + n].tobytes()
+
+
+_client_process_response_wire_fn = _lib.client_process_response_wire
+
+
+def client_process_response_wire(
+    key: bytes,
+    filter_seed: bytes,
+    response_bytes: bytes,
+    vec_c_ptr: int,
+    cols: int,
+    b: int,
+    out_ptr: int,
+) -> int:
+    """Wire-level response handling: the serialized response goes straight
+    to C (header parse included). vec_c_ptr/out_ptr are raw addresses
+    (callers cache arr.ctypes.data — the property costs ~1 us per access,
+    real money at a ~10 us budget). Returns the value length or -1/-2/-3;
+    on success out[32:32+n] holds the value (out[:32] the digest)."""
+    return _client_process_response_wire_fn(
+        key, len(key), filter_seed, response_bytes, len(response_bytes),
+        vec_c_ptr, cols, b, out_ptr,
+    )
 
 
 def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:

@@ -1,0 +1,139 @@
+"""FrodoPIR offline query preprocessing (the pool) and the wire-level
+response path.
+
+The (b = s.A + e, c = s.M) pair is key-independent, so FrodoPIR
+(ia.cr/2022/981) prepares it before the query key is known; the
+reference computes the same pair lazily inside query()
+(reference: chalametpir_client/src/client.rs:106-107) and exposes
+discard/insert hooks to bench the online remainder separately
+(client.rs:60-71). These tests pin that a pooled query is
+indistinguishable from an inline one at the protocol level.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from chalametpir_tpu import Client, Server
+from chalametpir_tpu.errors import (
+    ArithmeticOverflowAddingQueryIndicator,
+    InvalidResponseVector,
+    PendingQueryExistsForKey,
+)
+from chalametpir_tpu.utils import generate_random_kv_database
+
+
+def _query_with_retry(client, key):
+    while True:
+        try:
+            return client.query(key)
+        except ArithmeticOverflowAddingQueryIndicator:
+            continue
+
+
+@pytest.fixture(scope="module")
+def pir_pair():
+    rng = np.random.default_rng(0x5EED)
+    db = generate_random_kv_database(500, rng=rng, value_byte_len=(1, 96))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    return db, seed, server, hint, fparams
+
+
+def test_pooled_queries_round_trip(pir_pair):
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=6)
+    assert client.prepared_query_count == 6
+    keys = list(db.keys())[:5]
+    for key in keys:
+        response = server.respond(_query_with_retry(client, key))
+        assert client.process_response(key, response) == db[key]
+    # 5 pops (unless an overflow retry burned extras) from 6 entries
+    assert client.prepared_query_count <= 1
+
+
+def test_pool_exhaustion_falls_back_inline(pir_pair):
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=1)
+    keys = list(db.keys())[:3]
+    for key in keys:  # 2 of the 3 must take the inline path
+        response = server.respond(_query_with_retry(client, key))
+        assert client.process_response(key, response) == db[key]
+    assert client.prepared_query_count == 0
+
+
+def test_query_batch_mixes_pool_and_inline(pir_pair):
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=2)
+    keys = list(db.keys())[10:15]
+    queries = client.query_batch(keys)
+    assert len(queries) == len(keys)
+    for key, q in zip(keys, queries):
+        assert client.process_response(key, server.respond(q)) == db[key]
+
+
+def test_pool_preserves_pending_contract(pir_pair):
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=3)
+    key = next(iter(db))
+    _query_with_retry(client, key)
+    with pytest.raises(PendingQueryExistsForKey):
+        client.query(key)
+
+
+def test_malformed_response_keeps_pending(pir_pair):
+    """A mis-shaped response errors WITHOUT consuming the pending query
+    (reference: client.rs:210-217 returns early before the remove)."""
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False)
+    key = next(iter(db))
+    query = _query_with_retry(client, key)
+    with pytest.raises(InvalidResponseVector):
+        client.process_response(key, b"\x01\x00\x00\x00\x02\x00\x00\x00" + b"\0" * 8)
+    # the pending state survived; the real response still decodes
+    response = server.respond(query)
+    assert client.process_response(key, response) == db[key]
+
+
+def test_auto_refill_background(pir_pair):
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(
+        seed, hint, fparams, device=False, prepared_queries=2, auto_refill=True
+    )
+    keys = list(db.keys())[20:24]
+    for key in keys:
+        response = server.respond(_query_with_retry(client, key))
+        assert client.process_response(key, response) == db[key]
+    # the refill thread must restore the pool to its target depth
+    deadline = time.time() + 10.0
+    while time.time() < deadline and client.prepared_query_count < 2:
+        time.sleep(0.05)
+    assert client.prepared_query_count >= 2
+
+
+def test_query_inline_bypasses_pool(pir_pair):
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=2)
+    key = list(db.keys())[30]
+    while True:
+        try:
+            q = client.query_inline(key)
+            break
+        except ArithmeticOverflowAddingQueryIndicator:
+            continue
+    assert client.prepared_query_count == 2  # untouched
+    assert client.process_response(key, server.respond(q)) == db[key]
+
+
+def test_prepared_query_wire_format_matches_inline(pir_pair):
+    """Pooled and inline queries must be shape- and protocol-identical:
+    the server cannot tell them apart."""
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=1)
+    keys = list(db.keys())[40:42]
+    q_pool = _query_with_retry(client, keys[0])  # pool entry
+    q_inline = _query_with_retry(client, keys[1])  # pool now empty
+    assert len(q_pool) == len(q_inline)
+    assert client.process_response(keys[0], server.respond(q_pool)) == db[keys[0]]
+    assert client.process_response(keys[1], server.respond(q_inline)) == db[keys[1]]
