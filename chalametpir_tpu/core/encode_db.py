@@ -101,6 +101,77 @@ def _assemble_rows_numpy(mat, enc_rows, reverse_order, reverse_h, hrows, b):
         mat[hrows[found, i]] = (acc - mask_row) & mask
 
 
+def from_kv_database_streaming(
+    db: dict[bytes, bytes],
+    arity: int,
+    mat_elem_bit_len: int,
+    chunk_rows: int,
+    max_attempt_count: int = SERVER_SETUP_MAX_ATTEMPT_COUNT,
+    rng: np.random.Generator | None = None,
+):
+    """Streaming encode: returns (mat16, filt, chunk_iter) where mat16 is
+    the (num_fingerprints, cols) uint16 matrix being assembled on a worker
+    thread in fingerprint-chunk order, and chunk_iter yields each chunk
+    index j as rows [j*chunk_rows, (j+1)*chunk_rows) become final. The
+    consumer packs/uploads chunk j while chunks j+1.. are still being
+    assembled — the encode pass hides under the device upload.
+
+    Requires the native engine (callers fall back to from_kv_database).
+    Semantics identical to from_kv_database: the chunk-ordered execution
+    is a valid topological order of the reverse-peel assignment
+    (reference: matrix.rs:707-746 — see engine.cpp for the argument)."""
+    import threading
+    import time
+
+    if _native is None:  # pragma: no cover - guarded by callers
+        raise RuntimeError("streaming encode requires the native engine")
+    if len(db) == 0:
+        raise EmptyKVDatabase()
+    keys = list(db.keys())
+    values = list(db.values())
+
+    digests = hashing.hash_of_keys_batch(keys)
+    filt, reverse_order, reverse_h, key_index = construct_filter(
+        digests, arity, mat_elem_bit_len, max_attempt_count, rng
+    )
+    max_value_len = max(len(v) for v in values)
+    cols = codec.encoded_row_width(max_value_len, mat_elem_bit_len)
+    digest_bytes = np.ascontiguousarray(digests).view(np.uint8).reshape(len(keys), 32)
+
+    num_fp = filt.num_fingerprints
+    n_chunks = -(-num_fp // chunk_rows)
+    expected = _native.assemble_plan(
+        reverse_order, reverse_h, filt.arity, filt.segment_length,
+        filt.segment_count_length, chunk_rows, n_chunks,
+    )
+    progress = np.zeros(n_chunks, np.int64)
+    # rows are padded to whole chunks (zeros) so every chunk the consumer
+    # packs/uploads has the same shape — one compiled device program
+    mat = _native.alloc_array((n_chunks * chunk_rows, cols), np.uint16)
+
+    worker = threading.Thread(
+        target=_native.encode_assemble_rows16_ordered,
+        args=(
+            digest_bytes, values, key_index, reverse_order, reverse_h,
+            mat_elem_bit_len, filt.arity, filt.segment_length,
+            filt.segment_count_length, mat, chunk_rows, progress,
+        ),
+        daemon=True,
+    )
+    worker.start()
+
+    def chunk_iter():
+        for j in range(n_chunks):
+            while progress[j] < expected[j]:
+                if not worker.is_alive() and progress[j] < expected[j]:
+                    raise RuntimeError("streaming encode worker died")
+                time.sleep(0.002)
+            yield j
+        worker.join()
+
+    return mat, filt, chunk_iter()
+
+
 def recover_value(
     mat: np.ndarray, key: bytes, filt: BinaryFuseFilter
 ) -> bytes:

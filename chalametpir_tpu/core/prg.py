@@ -17,6 +17,15 @@ Two derivation modes:
   independent XOF output of a distinct message under the public seed);
   not interoperable with reference peers, which is why it is opt-in.
 
+  ctr mode lays A out **fingerprint-major**: element A[r, c] is stream
+  word `c * rows + r`, i.e. each fingerprint column of A is a contiguous
+  word range. Every consumer slices A by fingerprint ranges — the
+  sharded hint generates only each shard's local range, the setup
+  pipeline folds hint chunks as DB chunks finish uploading, and the
+  client generates per-fingerprint-chunk slabs — so this orientation
+  makes all of them contiguous ctr-stream reads. (A is uniform either
+  way; the orientation is a layout choice, not a security change.)
+
 Both modes expose the same API surface: full expansion and a row-block
 iterator the server uses to pipeline the hint matmul.
 """
@@ -90,14 +99,44 @@ def _ctr_blocks(seed: bytes, block0: int, nblocks: int) -> np.ndarray:
 
 
 def expand_seed(rows: int, cols: int, seed: bytes, mode: str = "stream") -> np.ndarray:
-    """Full (rows, cols) uint32 matrix A."""
-    return SeedStream(seed, mode).read_u32(rows * cols).reshape(rows, cols)
+    """Full (rows, cols) uint32 matrix A.
+
+    stream mode reads the XOF row-major (reference matrix.rs:541-558);
+    ctr mode is fingerprint-major: A[r, c] = word[c * rows + r]."""
+    words = SeedStream(seed, mode).read_u32(rows * cols)
+    if mode == "ctr":
+        return np.ascontiguousarray(words.reshape(cols, rows).T)
+    return words.reshape(rows, cols)
+
+
+def expand_fp_block(
+    rows: int, col0: int, ncols: int, seed: bytes
+) -> np.ndarray:
+    """(ncols, rows) uint32 slab of ctr-mode A covering fingerprint columns
+    [col0, col0+ncols): slab[j] = A[:, col0+j]. A contiguous ctr word
+    range, so any shard/chunk generates exactly its own slice."""
+    word0 = col0 * rows
+    blk0, rem = divmod(word0 * 4, RATE)
+    nwords = ncols * rows
+    nblocks = -(-(rem + nwords * 4) // RATE)
+    flat = _ctr_blocks(seed, blk0, nblocks).reshape(-1)
+    words = np.ascontiguousarray(flat[rem : rem + nwords * 4]).view("<u4")
+    return words.reshape(ncols, rows)
 
 
 def iter_row_blocks(
     rows: int, cols: int, seed: bytes, block_rows: int, mode: str = "stream"
 ) -> Iterator[tuple[int, np.ndarray]]:
-    """Yield (row_offset, (r, cols) uint32 block) covering A in order."""
+    """Yield (row_offset, (r, cols) uint32 block) covering A in order.
+
+    ctr mode is fingerprint-major, so an LWE-row block is strided in the
+    stream; this oracle-path helper just materialises A once and slices
+    (device paths use fingerprint-range slabs instead)."""
+    if mode == "ctr":
+        a = expand_seed(rows, cols, seed, mode=mode)
+        for r0 in range(0, rows, block_rows):
+            yield r0, a[r0 : r0 + block_rows]
+        return
     stream = SeedStream(seed, mode)
     for r0 in range(0, rows, block_rows):
         r = min(block_rows, rows - r0)

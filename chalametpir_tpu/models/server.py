@@ -128,6 +128,21 @@ class Server:
                 if mat_elem_bit_len is not None
                 else find_mat_elem_bit_len(len(db))
             )
+            # TPU-native fast path: ctr PRG + packed layout + native engine
+            # => the streaming pipeline (encode chunks -> pack -> async
+            # upload -> on-device hint fold, all overlapped)
+            if (
+                mesh is None
+                and backend == "jax"
+                and prg_mode == "ctr"
+                and layout in ("auto", "packed")
+                and bit_len <= 12
+                and encode_db._native is not None
+            ):
+                server, hint, filt = cls._setup_jax_ctr_pipelined(
+                    seed, db, arity, bit_len, rng
+                )
+                return server, matrix_io.matrix_to_bytes(hint), filt.to_bytes()
             with telemetry.span("server_setup.encode_db", entries=len(db), b=bit_len):
                 mat_d, filt = encode_db.from_kv_database(
                     db, arity, bit_len, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
@@ -148,6 +163,84 @@ class Server:
         return server, matrix_io.matrix_to_bytes(hint), filt.to_bytes()
 
     @classmethod
+    def _setup_jax_ctr_pipelined(cls, seed, db_dict, arity, bit_len, rng):
+        """Streaming TPU-native setup (ctr mode): the native engine
+        assembles D in fingerprint-chunk order (chunk-priority topological
+        execution, core/encode_db.from_kv_database_streaming); as each
+        chunk finalises it is packed, device_put (async DMA), folded into
+        the hint on device (A[:, chunk] . D[chunk] from the on-device ctr
+        PRG), and written into the serving planes. The encode pass, the
+        host->device upload, and the whole hint matmul all overlap — wall
+        time approaches the pure upload cost.
+
+        Replaces the reference's sequential setup (server.rs:47-78:
+        encode, then A expansion, then A . D, then transpose+compress)."""
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.filter import filter_geometry
+        from ..native import engine as _native_eng
+        from ..ops import prg_jax, respond_pallas
+        from ..ops.packed import hi_bits, hi_pack_factor
+        from ..utils import telemetry
+
+        interpret = jax.default_backend() == "cpu"
+        tile_k = respond_pallas.DEFAULT_TILE_K
+        # filter geometry is a function of the DB size alone, so the chunk
+        # size is known before the filter is built
+        _, _, num_fp = filter_geometry(arity, len(db_dict))
+        cc = _ctr_chunk_cols(num_fp, tile_k)
+
+        with telemetry.span(
+            "server_setup.encode_stream", entries=len(db_dict), b=bit_len, chunk=cc
+        ):
+            mat16, filt, chunks = encode_db.from_kv_database_streaming(
+                db_dict, arity, bit_len, cc, SERVER_SETUP_MAX_ATTEMPT_COUNT, rng
+            )
+        m = filt.num_fingerprints
+        m_pad, cols = mat16.shape
+        n_chunks = m_pad // cc
+
+        hb = hi_bits(bit_len)
+        pack = hi_pack_factor(bit_len) if hb > 0 else 0
+        bits = (8 // pack if pack > 1 else 8) if pack else 0
+        c_pad = -(-cols // respond_pallas.LANE) * respond_pallas.LANE
+        pc = (c_pad // pack if pack > 1 else c_pad) if hb > 0 else 0
+
+        # -128 biased == value zero everywhere a chunk never writes
+        lo_dev = jnp.full((m_pad, c_pad), -128, jnp.int8)
+        hi_dev = jnp.zeros((m_pad, pc), jnp.uint8) if hb > 0 else None
+        hint_buf = jnp.zeros((K_PAD, cols), jnp.uint32)
+        seed_words = prg_jax.seed_to_words(seed)
+
+        with telemetry.span(
+            "server_setup.stream_pack_upload_fold", chunks=n_chunks, m=m, cols=cols
+        ):
+            for j in chunks:
+                r0 = j * cc
+                lo_host, hi_host = _native_eng.build_packed_planes(
+                    mat16[r0 : r0 + cc], cc, c_pad, pack, bits, tight_lo=True
+                )
+                lo_c = jax.device_put(lo_host)
+                hi_c = jax.device_put(hi_host) if hb > 0 else None
+                blk0_words, offset = prg_jax.fp_block_start(r0, LWE_DIMENSION)
+                out = _gen_fold_tight(
+                    seed_words, blk0_words, offset, lo_c, hi_c,
+                    c_pad=c_pad, bit_len=bit_len, tile_k=tile_k, interp=interpret,
+                )
+                hint_buf = _accum_hint(hint_buf, out)
+                lo_dev = respond_pallas._write_rows(lo_dev, lo_c, jnp.int32(r0))
+                if hb > 0:
+                    hi_dev = respond_pallas._write_rows(hi_dev, hi_c, jnp.int32(r0))
+            hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
+
+        pdb = respond_pallas.PallasDB(lo_dev, hi_dev, bit_len, m, cols, tile_k)
+        return cls("jax", pdb, m, cols, bit_len, "packed"), hint, filt
+
+    @classmethod
     def _setup_sharded(cls, seed, mat_d, bit_len, prg_mode, mesh):
         """Multi-chip setup: packed planes row-sharded over the `model`
         axis, hint computed as sharded packed matvecs over host A blocks."""
@@ -165,32 +258,13 @@ class Server:
         m_pad = db.lo.shape[0]
 
         if prg_mode == "ctr":
-            # A never exists on the host: every shard regenerates the slab
-            # from the seed on device and folds its local column range
-            import jax.numpy as jnp
+            # A never exists on the host: every shard generates ONLY its
+            # local fingerprint range of A (one contiguous ctr word range,
+            # fingerprint-major layout) and folds it on device
+            from ..parallel import sharded_hint_ctr_packed
 
-            from ..ops import prg_jax
-            from ..parallel import sharded_hint_ctr_packed_fn
-
-            rows_per_step = min(128, LWE_DIMENSION)
-            seed_words = prg_jax.seed_to_words(seed)
-            hint_step = sharded_hint_ctr_packed_fn(mesh, db, rows_per_step, m)
-            hint_parts = []
             with telemetry.span("server_setup.hint_sharded_ctr", m_pad=m_pad):
-                for r0 in range(0, LWE_DIMENSION, rows_per_step):
-                    word0 = r0 * m
-                    blk0 = (word0 * 4) // 168
-                    blk0_words = jnp.asarray(
-                        np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32)
-                    )
-                    out = hint_step(
-                        seed_words, blk0_words, jnp.int32(word0 - blk0 * 42)
-                    )
-                    r = min(rows_per_step, LWE_DIMENSION - r0)
-                    hint_parts.append((r, out))
-                hint = np.concatenate(
-                    [np.asarray(h)[:r] for r, h in hint_parts], axis=0
-                ).astype(np.uint32)
+                hint = sharded_hint_ctr_packed(mesh, db, seed)
             return cls("jax", db, m, cols, bit_len, "packed", mesh=mesh), hint
 
         hint_step = sharded_hint_packed_fn(mesh, db)
@@ -238,8 +312,15 @@ class Server:
         from ..utils import telemetry
 
         if layout == "packed":
+            # ctr hint folds slice the planes in _ctr_chunk_cols chunks —
+            # align the padded fingerprint dim to whole chunks
+            m_align = (
+                _ctr_chunk_cols(m, respond_pallas.DEFAULT_TILE_K)
+                if prg_mode == "ctr"
+                else None
+            )
             with telemetry.span("server_setup.pack_and_upload", m=m, cols=cols):
-                db = respond_pallas.build_pallas_db(mat_d, bit_len)
+                db = respond_pallas.build_pallas_db(mat_d, bit_len, m_align=m_align)
 
             # The hint matmul IS a batched respond: each A row block is a
             # batch of hint_block_rows "queries". The hint accumulates in
@@ -250,52 +331,32 @@ class Server:
             pad_rows = n_blocks * hint_block_rows
 
             if prg_mode == "ctr":
+                # fingerprint-major ctr A (core/prg.py): the hint folds per
+                # DB row chunk — A[:, chunk] . D[chunk] with each chunk's A
+                # slab one contiguous on-device ctr generation. This is the
+                # non-pipelined fallback (CPU tests / no native engine);
+                # the streaming path in _setup_jax_ctr_pipelined fuses the
+                # same folds with the chunked DB upload.
                 from ..ops import prg_jax
 
-                # A is generated on-device (Pallas Keccak), so slabs are
-                # bounded by HBM, not the host link: 128 rows of A is
-                # ~0.6 GB at the largest single-chip DB. (Bigger slabs
-                # would save a few tunnel dispatches, but every program
-                # shape costs a remote compile on first use — 128 stays
-                # aligned with the warmed cache.)
-                rows_per_step = min(128, LWE_DIMENSION)
-                n_steps = -(-LWE_DIMENSION // rows_per_step)
-                pad_rows = n_steps * rows_per_step
+                interpret = jax.default_backend() == "cpu"
                 seed_words = prg_jax.seed_to_words(seed)
-
-                # separately-jitted stages: fusing the Keccak generator,
-                # the respond kernel, and the slice update into one
-                # program sends the compiler into the weeds.
-                # seed_words is an ARGUMENT, not a closure capture: captured
-                # arrays are baked into the program as constants, so every
-                # new seed would be a fresh (remote, minutes-long) compile.
-                @partial(jax.jit, static_argnames=("nrows", "ncols"))
-                def gen_slab(sw, blk0_words, offset, nrows, ncols):
-                    return prg_jax.rows_from_blocks(
-                        sw, blk0_words, offset, nrows, ncols
-                    )
-
-                @partial(jax.jit, donate_argnums=0)
-                def write_rows(hint_buf, out, r0):
-                    return jax.lax.dynamic_update_slice(hint_buf, out, (r0, jnp.int32(0)))
-
-                with telemetry.span("server_setup.hint_ctr_on_device", steps=n_steps):
-                    hint_buf = jnp.zeros((pad_rows, cols), jnp.uint32)
-                    for r0 in range(0, LWE_DIMENSION, rows_per_step):
-                        word0 = r0 * m
-                        blk0 = (word0 * 4) // 168
-                        blk0_words = jnp.asarray(
-                            np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32)
+                m_pad = db.lo.shape[0]
+                cc = m_align  # m_pad is chunk-aligned by construction
+                n_chunks = m_pad // cc
+                with telemetry.span("server_setup.hint_ctr_on_device", chunks=n_chunks):
+                    hint_buf = jnp.zeros((K_PAD, cols), jnp.uint32)
+                    for j in range(n_chunks):
+                        blk0_words, offset = prg_jax.fp_block_start(
+                            j * cc, LWE_DIMENSION
                         )
-                        a_slab = gen_slab(
-                            seed_words,
-                            blk0_words,
-                            jnp.int32(word0 - blk0 * 42),
-                            rows_per_step,
-                            m,
+                        out = _gen_fold_sliced(
+                            seed_words, blk0_words, offset, db.lo, db.hi,
+                            jnp.int32(j * cc),
+                            cc=cc, c=cols, bit_len=bit_len,
+                            tile_k=db.tile_k, interp=interpret,
                         )
-                        out = respond_pallas.respond_batch_packed(a_slab, db)
-                        hint_buf = write_rows(hint_buf, out, jnp.int32(r0))
+                        hint_buf = _accum_hint(hint_buf, out)
                     hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
                 return cls("jax", db, m, cols, bit_len, "packed"), hint
 
@@ -468,6 +529,100 @@ class Server:
             meta["mat_elem_bit_len"],
             meta["layout"],
         )
+
+
+# -- ctr hint folds ----------------------------------------------------------
+#
+# Fingerprint-major ctr A (core/prg.py) makes the hint a sum of per-DB-row-
+# chunk folds: M = sum_chunks A[:, chunk] . D[chunk], with each chunk's A
+# slab one contiguous on-device ctr generation. K_PAD rounds the LWE
+# dimension up to whole 128-row fold groups (the respond kernel's query
+# batch); the padded A rows are zero, so their hint rows are zero and get
+# sliced off.
+
+K_PAD = -(-LWE_DIMENSION // 128) * 128  # 1792
+_CTR_CHUNK_COLS = 1 << 17
+
+_jit_cache: dict = {}
+
+
+def _ctr_chunk_cols(m: int, tile_k: int) -> int:
+    """DB-row chunk size for ctr hint folds / the streaming upload:
+    ~2^17 rows, whole tiles."""
+    return min(-(-m // tile_k) * tile_k, _CTR_CHUNK_COLS)
+
+
+def _accum_hint(buf, out):
+    import jax
+
+    fn = _jit_cache.get("accum")
+    if fn is None:
+        fn = _jit_cache["accum"] = jax.jit(lambda b, o: b + o, donate_argnums=0)
+    return fn(buf, out)
+
+
+def _make_fold(tight: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import prg_jax, respond_pallas
+
+    @partial(
+        jax.jit,
+        static_argnames=("cc", "c", "c_pad", "bit_len", "tile_k", "interp", "has_hi"),
+    )
+    def fold(sw, blk0_words, offset, lo, hi, r0, cc, c, c_pad, bit_len,
+             tile_k, interp, has_hi):
+        slab = prg_jax.rows_from_blocks(sw, blk0_words, offset, cc, LWE_DIMENSION)
+        g = jnp.pad(slab, ((0, 0), (0, K_PAD - LWE_DIMENSION))).T  # (K_PAD, cc)
+        if tight:
+            lo_c = jnp.pad(lo, ((0, 0), (0, c_pad - lo.shape[1])))
+            hi_c = hi if has_hi else None
+        else:
+            lo_c = jax.lax.dynamic_slice(lo, (r0, jnp.int32(0)), (cc, lo.shape[1]))
+            hi_c = (
+                jax.lax.dynamic_slice(hi, (r0, jnp.int32(0)), (cc, hi.shape[1]))
+                if has_hi
+                else None
+            )
+        return respond_pallas.hint_fold_partial(
+            g, lo_c, hi_c, bit_len, c, tile_k, 128, interp
+        )
+
+    return fold
+
+
+def _gen_fold_sliced(sw, blk0_words, offset, lo, hi, r0, *, cc, c, bit_len,
+                     tile_k, interp):
+    """(K_PAD, c) uint32 hint partial for DB rows [r0, r0+cc), slicing the
+    chunk out of the full device planes."""
+    fn = _jit_cache.get("fold_sliced")
+    if fn is None:
+        fn = _jit_cache["fold_sliced"] = _make_fold(tight=False)
+    c_pad = lo.shape[1]
+    if hi is None:
+        return fn(sw, blk0_words, offset, lo, lo, r0, cc, c, c_pad, bit_len,
+                  tile_k, interp, False)
+    return fn(sw, blk0_words, offset, lo, hi, r0, cc, c, c_pad, bit_len,
+              tile_k, interp, True)
+
+
+def _gen_fold_tight(sw, blk0_words, offset, lo_tight, hi_c, *, c_pad,
+                    bit_len, tile_k, interp):
+    """(K_PAD, c) uint32 hint partial over a freshly-uploaded tight chunk
+    (lo (cc, c) int8 padded to c_pad on device — zero columns never cross
+    the host link)."""
+    import jax.numpy as jnp
+
+    fn = _jit_cache.get("fold_tight")
+    if fn is None:
+        fn = _jit_cache["fold_tight"] = _make_fold(tight=True)
+    cc, c = lo_tight.shape
+    if hi_c is None:
+        return fn(sw, blk0_words, offset, lo_tight, lo_tight, jnp.int32(0),
+                  cc, c, c_pad, bit_len, tile_k, interp, False)
+    return fn(sw, blk0_words, offset, lo_tight, hi_c, jnp.int32(0),
+              cc, c, c_pad, bit_len, tile_k, interp, True)
 
 
 @contextlib.contextmanager

@@ -392,6 +392,210 @@ void encode_assemble_rows16(const uint8_t* digests,
   }
 }
 
+// --- streaming (chunk-ordered) encode ------------------------------------
+//
+// encode_assemble_rows16 processes peel entries in reverse peel order, so
+// the rows of D become final in hash-scattered order and nothing can
+// consume D until the whole pass ends. The ordered variant executes the
+// same per-entry assignments in a *chunk-priority topological order*:
+// fingerprint-row chunk 0's writers (and their transitive dependencies)
+// run first, then chunk 1's, etc. This is semantics-preserving: each row
+// is written exactly once, and in the original order every row an entry
+// reads is already final when read (a later write to a read row would
+// mean that slot had degree >= 2 at the earlier entry's peel time —
+// contradiction with it having been a degree-1 peel slot). The only
+// ordering constraints are therefore write-before-read edges, which the
+// topological execution preserves. Per-chunk progress counters let the
+// caller pack + upload + hint-fold each chunk while later chunks are
+// still being assembled.
+
+namespace {
+
+struct StepCtx {
+  const uint8_t* digests;
+  const uint8_t* const* value_ptrs;
+  const int64_t* value_lens;
+  const int64_t* key_index;
+  const uint64_t* reverse_order;
+  const uint8_t* reverse_h;
+  int32_t b;
+  int64_t cols;
+  uint32_t arity, seg_len, seg_cnt_len;
+  uint16_t* mat;
+  std::vector<uint8_t> stream;
+  std::vector<uint16_t> enc, msk;
+};
+
+// One peel entry's assignment: D[rows[code]] = (enc - sum others - mask).
+// Identical math to the loop body of encode_assemble_rows16.
+static void assemble_one(StepCtx& ctx, int64_t i) {
+  const uint32_t mask = (1u << ctx.b) - 1;
+  const int64_t cols = ctx.cols;
+  const int64_t src = ctx.key_index[i];
+  const int64_t vlen = ctx.value_lens[src];
+  std::memcpy(ctx.stream.data(), ctx.digests + 32 * src, 32);
+  std::memcpy(ctx.stream.data() + 32, ctx.value_ptrs[src],
+              static_cast<size_t>(vlen));
+  ctx.stream[static_cast<size_t>(32 + vlen)] = 0x81;
+  std::memset(ctx.stream.data() + 33 + vlen, 0, ctx.stream.size() - 33 - vlen);
+  const uint8_t* sp = ctx.stream.data();
+  int64_t bit = 0;
+  for (int64_t e = 0; e < cols; ++e, bit += ctx.b) {
+    uint32_t w;
+    std::memcpy(&w, sp + (bit >> 3), 4);
+    ctx.enc[static_cast<size_t>(e)] =
+        static_cast<uint16_t>((w >> (bit & 7)) & mask);
+  }
+  const uint64_t h = ctx.reverse_order[i];
+  const uint8_t code = ctx.reverse_h[i];
+  uint32_t rows[4];
+  hash_rows(h, ctx.arity, ctx.seg_len, ctx.seg_cnt_len, rows);
+  for (int64_t c = 0; c < cols; ++c)
+    ctx.msk[static_cast<size_t>(c)] =
+        static_cast<uint16_t>(murmur64(h + static_cast<uint64_t>(c)));
+  uint16_t* dst = ctx.mat + static_cast<int64_t>(rows[code]) * cols;
+  const uint16_t* o1 =
+      ctx.mat + static_cast<int64_t>(rows[(code + 1) % ctx.arity]) * cols;
+  const uint16_t* o2 =
+      ctx.mat + static_cast<int64_t>(rows[(code + 2) % ctx.arity]) * cols;
+  if (ctx.arity == 4) {
+    const uint16_t* o3 =
+        ctx.mat + static_cast<int64_t>(rows[(code + 3) % ctx.arity]) * cols;
+    for (int64_t c = 0; c < cols; ++c)
+      dst[c] = static_cast<uint16_t>(
+          (ctx.enc[static_cast<size_t>(c)] - o1[c] - o2[c] - o3[c] -
+           ctx.msk[static_cast<size_t>(c)]) & mask);
+  } else {
+    for (int64_t c = 0; c < cols; ++c)
+      dst[c] = static_cast<uint16_t>(
+          (ctx.enc[static_cast<size_t>(c)] - o1[c] - o2[c] -
+           ctx.msk[static_cast<size_t>(c)]) & mask);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-chunk expected write counts: expected[k] = number of peel entries
+// whose destination row falls in fingerprint chunk k. Cheap (one hash
+// pass); the caller uses it as the completion target for progress[k].
+void assemble_plan(const uint64_t* reverse_order, const uint8_t* reverse_h,
+                   int64_t n, uint32_t arity, uint32_t seg_len,
+                   uint32_t seg_cnt_len, int64_t chunk_rows,
+                   int64_t n_chunks, int64_t* expected) {
+  for (int64_t k = 0; k < n_chunks; ++k) expected[k] = 0;
+  uint32_t rows[4];
+  for (int64_t i = 0; i < n; ++i) {
+    hash_rows(reverse_order[i], arity, seg_len, seg_cnt_len, rows);
+    expected[rows[reverse_h[i]] / chunk_rows] += 1;
+  }
+}
+
+// Chunk-ordered encode+assemble. Same inputs/outputs as
+// encode_assemble_rows16 plus (chunk_rows, n_chunks, progress):
+// progress[k] counts rows of chunk k written so far (release-ordered
+// atomic increments; the Python caller polls until it matches the plan).
+void encode_assemble_rows16_ordered(
+    const uint8_t* digests, const uint8_t* const* value_ptrs,
+    const int64_t* value_lens, const int64_t* key_index,
+    const uint64_t* reverse_order, const uint8_t* reverse_h, int64_t n,
+    int32_t b, int64_t cols, uint32_t arity, uint32_t seg_len,
+    uint32_t seg_cnt_len, uint16_t* mat, int64_t num_fp, int64_t chunk_rows,
+    int64_t n_chunks, int64_t* progress) {
+  // dst row and writer-of-row maps
+  std::vector<uint32_t> dstrow(static_cast<size_t>(n));
+  std::vector<int64_t> writer(static_cast<size_t>(num_fp), -1);
+  uint32_t rows[4];
+  for (int64_t i = 0; i < n; ++i) {
+    hash_rows(reverse_order[i], arity, seg_len, seg_cnt_len, rows);
+    dstrow[static_cast<size_t>(i)] = rows[reverse_h[i]];
+    writer[rows[reverse_h[i]]] = i;
+  }
+  // dependency CSR: step i depends on the writers of the rows it reads
+  std::vector<int32_t> ndeps(static_cast<size_t>(n), 0);
+  std::vector<int64_t> dep_off(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    hash_rows(reverse_order[i], arity, seg_len, seg_cnt_len, rows);
+    const uint8_t code = reverse_h[i];
+    for (uint32_t p = 0; p < arity; ++p) {
+      if (p == code) continue;
+      if (writer[rows[p]] >= 0) ndeps[static_cast<size_t>(i)] += 1;
+    }
+    dep_off[static_cast<size_t>(i) + 1] =
+        dep_off[static_cast<size_t>(i)] + ndeps[static_cast<size_t>(i)];
+  }
+  std::vector<int64_t> deps(static_cast<size_t>(dep_off[n]));
+  {
+    std::vector<int64_t> fill(dep_off.begin(), dep_off.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      hash_rows(reverse_order[i], arity, seg_len, seg_cnt_len, rows);
+      const uint8_t code = reverse_h[i];
+      for (uint32_t p = 0; p < arity; ++p) {
+        if (p == code) continue;
+        const int64_t w = writer[rows[p]];
+        if (w >= 0) deps[static_cast<size_t>(fill[static_cast<size_t>(i)]++)] = w;
+      }
+    }
+  }
+  // bucket steps by destination chunk
+  std::vector<int64_t> bucket_off(static_cast<size_t>(n_chunks) + 1, 0);
+  for (int64_t i = 0; i < n; ++i)
+    bucket_off[dstrow[static_cast<size_t>(i)] / chunk_rows + 1] += 1;
+  for (int64_t k = 0; k < n_chunks; ++k)
+    bucket_off[static_cast<size_t>(k) + 1] += bucket_off[static_cast<size_t>(k)];
+  std::vector<int64_t> buckets(static_cast<size_t>(n));
+  {
+    std::vector<int64_t> fill(bucket_off.begin(), bucket_off.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      buckets[static_cast<size_t>(
+          fill[dstrow[static_cast<size_t>(i)] / chunk_rows]++)] = i;
+  }
+
+  StepCtx ctx{digests, value_ptrs, value_lens, key_index,
+              reverse_order, reverse_h, b, cols,
+              arity, seg_len, seg_cnt_len, mat,
+              std::vector<uint8_t>(static_cast<size_t>((cols * b + 7) / 8 + 8), 0),
+              std::vector<uint16_t>(static_cast<size_t>(cols)),
+              std::vector<uint16_t>(static_cast<size_t>(cols))};
+
+  std::vector<uint8_t> done(static_cast<size_t>(n), 0);
+  std::vector<int64_t> stack;
+  stack.reserve(1024);
+  for (int64_t k = 0; k < n_chunks; ++k) {
+    for (int64_t bi = bucket_off[static_cast<size_t>(k)];
+         bi < bucket_off[static_cast<size_t>(k) + 1]; ++bi) {
+      const int64_t root = buckets[static_cast<size_t>(bi)];
+      if (done[static_cast<size_t>(root)]) continue;
+      stack.push_back(root);
+      while (!stack.empty()) {
+        const int64_t t = stack.back();
+        if (done[static_cast<size_t>(t)]) {
+          stack.pop_back();
+          continue;
+        }
+        bool ready = true;
+        for (int64_t d = dep_off[static_cast<size_t>(t)];
+             d < dep_off[static_cast<size_t>(t) + 1]; ++d) {
+          const int64_t w = deps[static_cast<size_t>(d)];
+          if (!done[static_cast<size_t>(w)]) {
+            stack.push_back(w);
+            ready = false;
+          }
+        }
+        if (!ready) continue;
+        assemble_one(ctx, t);
+        done[static_cast<size_t>(t)] = 1;
+        stack.pop_back();
+        __atomic_fetch_add(&progress[dstrow[static_cast<size_t>(t)] / chunk_rows],
+                           1, __ATOMIC_RELEASE);
+      }
+    }
+  }
+}
+
+}  // extern "C"
+
 // uint16-input variant of build_packed_planes (D is stored as uint16).
 // lo_stride lets the caller request a TIGHT lo plane (stride == c) so the
 // zero column padding never crosses the host link; the device pads.

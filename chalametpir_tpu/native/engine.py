@@ -64,6 +64,17 @@ _lib.encode_assemble_rows16.argtypes = [
     ctypes.c_int64, ctypes.c_int32,
     ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, _u16p,
 ]
+_lib.assemble_plan.argtypes = [
+    _u64p, _u8p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
+    ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64, _i64p,
+]
+_lib.encode_assemble_rows16_ordered.argtypes = [
+    _u8p, ctypes.POINTER(ctypes.c_char_p), _i64p, _i64p, _u64p, _u8p,
+    ctypes.c_int64, ctypes.c_int32,
+    ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+    ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_int64, _i64p,
+]
 _lib.build_packed_planes16.argtypes = [
     _u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     _i8p, _u8p, ctypes.c_int32, ctypes.c_int32,
@@ -256,6 +267,64 @@ def encode_assemble_rows16(
     return mat
 
 
+def assemble_plan(
+    reverse_order: np.ndarray,
+    reverse_h: np.ndarray,
+    arity: int,
+    seg_len: int,
+    seg_cnt_len: int,
+    chunk_rows: int,
+    n_chunks: int,
+) -> np.ndarray:
+    """(n_chunks,) int64 expected write counts per fingerprint-row chunk —
+    the completion targets for the streaming encode's progress array."""
+    ro = np.ascontiguousarray(reverse_order, np.uint64)
+    rh = np.ascontiguousarray(reverse_h, np.uint8)
+    expected = np.zeros(n_chunks, np.int64)
+    _lib.assemble_plan(
+        _ptr(ro, _u64p), _ptr(rh, _u8p), ro.shape[0], arity, seg_len,
+        seg_cnt_len, chunk_rows, n_chunks, _ptr(expected, _i64p),
+    )
+    return expected
+
+
+def encode_assemble_rows16_ordered(
+    digests: np.ndarray,
+    values: list[bytes],
+    key_index: np.ndarray,
+    reverse_order: np.ndarray,
+    reverse_h: np.ndarray,
+    b: int,
+    arity: int,
+    seg_len: int,
+    seg_cnt_len: int,
+    mat: np.ndarray,
+    chunk_rows: int,
+    progress: np.ndarray,
+) -> None:
+    """Chunk-ordered encode+assemble into the preallocated uint16 `mat`
+    (num_fp rows, zero-initialised): same result as encode_assemble_rows16
+    but fingerprint chunks complete in order, with progress[k] counting
+    chunk k's written rows (poll against assemble_plan). ctypes releases
+    the GIL for the call, so run it on a worker thread and consume chunks
+    from the main thread."""
+    digests = np.ascontiguousarray(digests, np.uint8)
+    n = digests.shape[0]
+    value_ptrs = (ctypes.c_char_p * n)(*values)
+    value_lens = np.fromiter((len(v) for v in values), np.int64, count=n)
+    ki = np.ascontiguousarray(key_index, np.int64)
+    ro = np.ascontiguousarray(reverse_order, np.uint64)
+    rh = np.ascontiguousarray(reverse_h, np.uint8)
+    num_fp, cols = mat.shape
+    n_chunks = progress.shape[0]
+    _lib.encode_assemble_rows16_ordered(
+        _ptr(digests, _u8p), value_ptrs, _ptr(value_lens, _i64p),
+        _ptr(ki, _i64p), _ptr(ro, _u64p), _ptr(rh, _u8p),
+        n, b, cols, arity, seg_len, seg_cnt_len, _ptr(mat, _u16p),
+        num_fp, chunk_rows, n_chunks, _ptr(progress, _i64p),
+    )
+
+
 def chacha8_ternary(entropy32: bytes, n: int) -> np.ndarray:
     """(n,) int8 uniform ternary codes {0,1,2} from a ChaCha8 CSPRNG keyed
     with 32 bytes of caller-supplied (OS) entropy."""
@@ -370,6 +439,10 @@ def build_packed_planes(
         fn, ptr_t = _lib.build_packed_planes, _u32p
         lo_rows, lo_stride = m_pad, c_pad
     lo = alloc_array((lo_rows, lo_stride), np.int8)
+    if lo_rows > m:
+        # padded rows hold biased -128 == value zero (exact for any query,
+        # not just zero-padded ones — the hint folds rely on this)
+        lo[m:] = -128
     if pack == 0:
         fn(
             _ptr(mat, ptr_t), m, c, lo_stride, c_pad, _ptr(lo, _i8p),

@@ -10,15 +10,17 @@ core, and a TPU sitting right there.
 TPU design:
 
 * A is stored as four biased int8 byte planes, planes[j] = ((A >> 8j)
-  & 255) - 128, shape (4, k, m) — same 4 B/element footprint as uint32,
-  but each plane is a native MXU operand.
+  & 255) - 128 — same 4 B/element footprint as uint32, but each plane is
+  a native MXU operand.
 * In "ctr" PRG mode the planes are *generated on device* (Pallas Keccak,
-  ops/prg_jax.py) — client setup never ships A over the host link. In
-  "stream" mode (reference-interop) A is squeezed by the host XOF and
-  uploaded once.
-* A query computes all four plane dots as one batched einsum
-  (4, 1, k) x (4, k, m) -> (4, 1, m) and recombines mod 2^32 with the
-  bias correction 128 * sum(s) per plane:
+  ops/prg_jax.py) — client setup never ships A over the host link. ctr
+  A is fingerprint-major (core/prg.py), so the planes are laid out
+  (4, m, k) and generated in contiguous fingerprint-range slabs. In
+  "stream" mode (reference-interop) A is squeezed by the host XOF
+  row-major and uploaded once as (4, k, m) planes.
+* A query computes all four plane dots as one batched einsum over the
+  k = 1774 contraction and recombines mod 2^32 with the bias correction
+  128 * sum(s) per plane:
       s . A = sum_j (s . plane_j + 128 * sum(s)) << 8j   (mod 2^32)
   Exactness: each dot is int8 x int8 -> int32 with k <= 1774 terms, so
   |partial| <= 1774 * 128 * 128 < 2^25 — no int32 overflow before the
@@ -45,7 +47,7 @@ def _jax():
 
 
 def _recode_planes_jnp(slab_u32):
-    """(r, m) uint32 -> (4, r, m) int8 biased byte planes, on device."""
+    """(r, c) uint32 -> (4, r, c) int8 biased byte planes, on device."""
     import jax.numpy as jnp
 
     planes = []
@@ -56,19 +58,29 @@ def _recode_planes_jnp(slab_u32):
 
 
 class DeviceQueryEngine:
-    """Holds the A byte planes in HBM and runs s . A per query."""
+    """Holds the A byte planes in HBM and runs s . A per query.
 
-    def __init__(self, planes, k: int, m: int, k_pad: int | None = None):
-        self._planes = planes  # (4, k_pad, m) int8; rows >= k are ignored
+    layout "mk": planes (4, m_pad, k) — ctr mode, fingerprint-major.
+    layout "km": planes (4, k_pad, m) — stream mode, row-major upload.
+    """
+
+    def __init__(self, planes, k: int, m: int, layout: str, k_pad: int | None = None):
+        self._planes = planes
         self.k = k
         self.m = m
-        self.k_pad = k_pad or planes.shape[1]
+        self.layout = layout
+        self.k_pad = k_pad or (planes.shape[1] if layout == "km" else k)
 
     # -- construction --------------------------------------------------------
 
     @classmethod
-    def from_seed_ctr(cls, seed: bytes, m: int, rows_per_step: int = 128) -> "DeviceQueryEngine":
-        """Generate A's planes entirely on device (ctr PRG mode)."""
+    def from_seed_ctr(
+        cls, seed: bytes, m: int, cols_per_step: int = 32768
+    ) -> "DeviceQueryEngine":
+        """Generate A's planes entirely on device (ctr PRG mode,
+        fingerprint-major): each step generates a contiguous ctr slab of
+        `cols_per_step` fingerprint columns and recodes it to byte planes
+        in place."""
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
@@ -78,40 +90,32 @@ class DeviceQueryEngine:
         from . import prg_jax
 
         k = LWE_DIMENSION
-        seed_words = prg_jax.seed_to_words(seed)
-        n_steps = -(-k // rows_per_step)
-        k_pad = n_steps * rows_per_step
+        n_steps = -(-m // cols_per_step)
+        m_pad = n_steps * cols_per_step
 
         # seed_words is an argument, not a closure capture — a captured
         # array is baked into the program, making every new seed a fresh
         # (remote, slow) compile
-        @partial(jax.jit, static_argnames=("nrows", "ncols"))
-        def gen(sw, blk0_words, offset, nrows, ncols):
+        @partial(jax.jit, static_argnames=("ncols", "lwe_rows"))
+        def gen(sw, blk0_words, offset, ncols, lwe_rows):
             return _recode_planes_jnp(
-                prg_jax.rows_from_blocks(sw, blk0_words, offset, nrows, ncols)
+                prg_jax.rows_from_blocks(sw, blk0_words, offset, ncols, lwe_rows)
             )
 
         @partial(jax.jit, donate_argnums=0)
-        def write(buf, slab_planes, r0):
-            return jax.lax.dynamic_update_slice(buf, slab_planes, (0, r0, jnp.int32(0)))
+        def write(buf, slab_planes, c0):
+            return jax.lax.dynamic_update_slice(buf, slab_planes, (0, c0, jnp.int32(0)))
 
-        buf = jnp.zeros((4, k_pad, m), jnp.int8)
-        for r0 in range(0, k, rows_per_step):
-            word0 = r0 * m
-            blk0 = (word0 * 4) // prg_jax.RATE
-            blk0_words = jnp.asarray(np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], np.uint32))
-            slab = gen(
-                seed_words,
-                blk0_words,
-                jnp.int32(word0 - blk0 * (prg_jax.RATE // 4)),
-                rows_per_step,
-                m,
-            )
-            buf = write(buf, slab, jnp.int32(r0))
-        # rows k..k_pad hold PRG output that must not contribute — but
-        # slicing would COPY the ~8 GB buffer (an HBM peak of 2x). Keep the
-        # padded planes and zero-pad the ternary signs instead: 0 * row = 0.
-        return cls(buf, k, m, k_pad=k_pad)
+        seed_words = prg_jax.seed_to_words(seed)
+        buf = jnp.zeros((4, m_pad, k), jnp.int8)
+        for c0 in range(0, m, cols_per_step):
+            blk0_words, offset = prg_jax.fp_block_start(c0, k)
+            slab = gen(seed_words, blk0_words, offset, cols_per_step, k)
+            buf = write(buf, slab, jnp.int32(c0))
+        # columns m..m_pad hold PRG output that must not contribute — they
+        # are OUTPUT positions here, so callers slice [:m]; no masking
+        # needed on the contraction.
+        return cls(buf, k, m, "mk")
 
     @classmethod
     def from_host_matrix(cls, a_host: np.ndarray) -> "DeviceQueryEngine":
@@ -126,7 +130,7 @@ class DeviceQueryEngine:
         for j in range(4):
             p = (a_host >> np.uint32(8 * j)).astype(np.uint8)
             planes_host[j] = (p.astype(np.int16) - 128).astype(np.int8)
-        return cls(jax.device_put(planes_host), k, m)
+        return cls(jax.device_put(planes_host), k, m, "km")
 
     # -- query ---------------------------------------------------------------
 
@@ -140,8 +144,12 @@ class DeviceQueryEngine:
 
     def matvec_batch(self, codes: np.ndarray) -> np.ndarray:
         """(Q, k) ternary codes -> (Q, m) uint32; all Q secrets ride one
-        batched einsum (the A planes stream from HBM once per batch)."""
-        return np.asarray(self.matvec_batch_async(codes)).astype(np.uint32)
+        batched einsum (the A planes stream from HBM once per batch). In
+        the "mk" layout the device result carries m_pad output columns of
+        PRG padding — sliced off here."""
+        return np.asarray(self.matvec_batch_async(codes))[:, : self.m].astype(
+            np.uint32
+        )
 
     def matvec_batch_async(self, codes: np.ndarray):
         """Dispatch the batched matvec and return the device array without
@@ -156,17 +164,15 @@ class DeviceQueryEngine:
         q = codes.shape[0]
         signs = np.zeros((q, self.k_pad), np.int8)
         signs[:, : self.k] = np.where(codes == 2, -1, codes).astype(np.int8)
-        return _ternary_planes_matvec(jax.device_put(signs), self._planes)
+        if self.layout == "mk":
+            return _ternary_planes_matvec_mk(jax.device_put(signs), self._planes)
+        return _ternary_planes_matvec_km(jax.device_put(signs), self._planes)
 
 
-def _ternary_planes_matvec_impl(signs, planes):
+def _combine_plane_dots(dots, signs):
+    """(4, Q, m) int32 plane dots + (Q, k) signs -> (Q, m) uint32."""
     import jax.numpy as jnp
 
-    q, k = signs.shape
-    s_mat = jnp.broadcast_to(signs[None, :, :], (4, q, k))
-    dots = jnp.einsum(
-        "bqk,bkm->bqm", s_mat, planes, preferred_element_type=jnp.int32
-    )  # (4, Q, m)
     s_sum = jnp.sum(signs.astype(jnp.int32), axis=1)  # (Q,)
     acc = jnp.zeros(dots.shape[1:], jnp.uint32)
     for j in range(4):
@@ -175,12 +181,44 @@ def _ternary_planes_matvec_impl(signs, planes):
     return acc
 
 
-_jitted_matvec = None
+def _matvec_km_impl(signs, planes):
+    import jax.numpy as jnp
+
+    q, k = signs.shape
+    s_mat = jnp.broadcast_to(signs[None, :, :], (4, q, k))
+    dots = jnp.einsum(
+        "bqk,bkm->bqm", s_mat, planes, preferred_element_type=jnp.int32
+    )
+    return _combine_plane_dots(dots, signs)
 
 
-def _ternary_planes_matvec(signs, planes):
-    # jit lazily so importing this module never initialises a device
-    global _jitted_matvec
-    if _jitted_matvec is None:
-        _jitted_matvec = _jax().jit(_ternary_planes_matvec_impl)
-    return _jitted_matvec(signs, planes)
+def _matvec_mk_impl(signs, planes):
+    import jax.numpy as jnp
+
+    q, k = signs.shape
+    s_mat = jnp.broadcast_to(signs[None, :, :], (4, q, k))
+    # planes are (4, m, k): contraction over the minor dim of both — the
+    # MXU takes transposed operands natively
+    dots = jnp.einsum(
+        "bqk,bmk->bqm", s_mat, planes, preferred_element_type=jnp.int32
+    )
+    return _combine_plane_dots(dots, signs)
+
+
+_jitted = {}
+
+
+def _jit_of(name, impl):
+    fn = _jitted.get(name)
+    if fn is None:
+        # jit lazily so importing this module never initialises a device
+        fn = _jitted[name] = _jax().jit(impl)
+    return fn
+
+
+def _ternary_planes_matvec_km(signs, planes):
+    return _jit_of("km", _matvec_km_impl)(signs, planes)
+
+
+def _ternary_planes_matvec_mk(signs, planes):
+    return _jit_of("mk", _matvec_mk_impl)(signs, planes)

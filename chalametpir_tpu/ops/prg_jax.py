@@ -226,15 +226,24 @@ def rows_from_blocks(seed_words, blk0_words, offset, nrows: int, cols: int):
     return jax.lax.dynamic_slice(words, (offset,), (nelems,)).reshape(nrows, cols)
 
 
-def expand_rows_device(seed_words, row0: int, nrows: int, cols: int):
-    """(nrows, cols) uint32 slab of the ctr-mode A matrix, on device.
-
-    Generates the covering ctr blocks and slices the element range
-    [row0*cols, (row0+nrows)*cols)."""
-    word0 = row0 * cols  # one u32 element per stream word
+def fp_block_start(col0: int, lwe_rows: int):
+    """(blk0_words, offset) addressing fingerprint column `col0` of the
+    ctr-mode A matrix (fingerprint-major: A[r, c] = word c*lwe_rows + r).
+    Python ints in, device-ready values out — callers with traced column
+    indices compute the same two values inline."""
+    word0 = col0 * lwe_rows
     blk0 = (word0 * 4) // RATE
     blk0_words = jnp.asarray(
         np.array([blk0 & 0xFFFFFFFF, blk0 >> 32], dtype=np.uint32)
     )
-    offset = jnp.int32(word0 - blk0 * (RATE // 4))
-    return rows_from_blocks(seed_words, blk0_words, offset, nrows, cols)
+    return blk0_words, jnp.int32(word0 - blk0 * (RATE // 4))
+
+
+def expand_fp_slab_device(seed_words, col0: int, ncols: int, lwe_rows: int):
+    """(ncols, lwe_rows) uint32 slab of ctr-mode A covering fingerprint
+    columns [col0, col0+ncols): slab[j] = A[:, col0+j]. The slab is one
+    contiguous ctr word range, so shards and pipeline chunks each generate
+    exactly their own slice of A on device (host ctr counterpart:
+    core/prg.py expand_fp_block)."""
+    blk0_words, offset = fp_block_start(col0, lwe_rows)
+    return rows_from_blocks(seed_words, blk0_words, offset, ncols, lwe_rows)

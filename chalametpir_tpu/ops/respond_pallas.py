@@ -108,7 +108,11 @@ def build_pallas_db(
     tight = _native is not None and mat.dtype == np.uint16 and sharding is None
     if tight:
         pc = (c_pad // pack if pack > 1 else c_pad) if hb > 0 else 0
-        lo_dev = jnp.zeros((m_pad, c_pad), jnp.int8)
+        # padded rows hold biased -128 == VALUE ZERO, so they contribute
+        # nothing for ANY query — the ctr hint folds multiply nonzero A
+        # values against them (a zero-padded-queries-only invariant would
+        # silently corrupt the hint)
+        lo_dev = jnp.full((m_pad, c_pad), -128, jnp.int8)
         hi_dev = jnp.zeros((m_pad, pc), jnp.uint8) if hb > 0 else None
         for r0 in range(0, m, chunk_rows):
             rows_pad = min(chunk_rows, m_pad - r0)
@@ -129,9 +133,9 @@ def build_pallas_db(
         if _native is not None and rows > 0:
             lo_host, hi_host = _native.build_packed_planes(sub, rows_pad, c_pad, pack, bits)
         else:
-            lo_host = np.zeros((rows_pad, c_pad), np.int8)
-            # padded rows must contribute zero against *zero-padded query
-            # digits*; any value works, 0 keeps it simple
+            # padded rows/cols hold biased -128 == value zero: exact for
+            # any query, including the nonzero A slabs of the hint folds
+            lo_host = np.full((rows_pad, c_pad), -128, np.int8)
             lo_host[:rows, :c] = ((sub & np.uint16(255)).astype(np.int16) - 128).astype(np.int8)
             hi_host = None
             if hb > 0:
@@ -303,6 +307,32 @@ def respond_batch_packed(queries_u32, db: PallasDB, interpret: bool | None = Non
         queries_u32, db.lo, db.hi, db.mat_elem_bit_len, db.num_cols, db.tile_k,
         interpret,
     )
+
+
+def hint_fold_partial(
+    g, lo, hi, mat_elem_bit_len: int, num_cols: int, tile_k: int,
+    rgroup: int, interpret: bool,
+):
+    """One hint chunk-fold: A[:, chunk] . D[chunk] over packed planes.
+
+    g: (k_pad, cc) uint32 — the A fingerprint-chunk slab, transposed so
+    its rows are LWE rows (generated on device from the ctr seed,
+    ops/prg_jax.expand_fp_slab_device). lo/hi: packed planes of the
+    matching cc DB rows. Returns (k_pad, num_cols) uint32.
+
+    The fold is the respond kernel with A rows as the query batch —
+    split into `rgroup`-row groups so each Pallas call's blocks fit VMEM
+    (k_pad rows at once would need a ~15 MB digit block)."""
+    k_pad, cc = g.shape
+    parts = []
+    for r0 in range(0, k_pad, rgroup):
+        parts.append(
+            respond_packed_core(
+                g[r0 : r0 + rgroup], lo, hi, mat_elem_bit_len, num_cols,
+                tile_k, interpret,
+            )
+        )
+    return jnp.concatenate(parts, axis=0)
 
 
 @partial(jax.jit, static_argnames=("q", "c"))

@@ -6,7 +6,7 @@ from .sharding import (
     pad_db_planes,
     shard_db_planes,
     sharded_hint_accumulate_fn,
-    sharded_hint_ctr_packed_fn,
+    sharded_hint_ctr_packed,
     sharded_hint_packed_fn,
     sharded_respond_fn,
     sharded_respond_packed_fn,
@@ -21,5 +21,5 @@ __all__ = [
     "build_sharded_pallas_db",
     "sharded_respond_packed_fn",
     "sharded_hint_packed_fn",
-    "sharded_hint_ctr_packed_fn",
+    "sharded_hint_ctr_packed",
 ]

@@ -202,35 +202,68 @@ def sharded_hint_packed_fn(mesh: Mesh, db):
     return _sharded_packed_fn(mesh, db, (P(None, "model"),), body)
 
 
-def sharded_hint_ctr_packed_fn(mesh: Mesh, db, rows_per_step: int, m: int):
-    """jit'd ctr-mode hint step over the packed planes: every shard
-    regenerates the full (rows_per_step, m) A slab from the 32-byte seed
-    on device (the Pallas Keccak is fast and embarrassingly parallel;
-    regenerating beats shipping A over the host link or reshuffling a
-    flat ctr stream into column shards), slices its local column range,
-    and contributes a packed partial that psums over ICI.
+def sharded_hint_ctr_packed(mesh: Mesh, db, seed: bytes) -> np.ndarray:
+    """Full (LWE_DIMENSION, c) uint32 hint over the mesh, ctr PRG mode.
 
-    Byte-compatible with single-chip ctr mode: the A derivation is
-    identical, only who computes which slice differs."""
-    from ..ops import prg_jax
+    ctr A is fingerprint-major (core/prg.py), so each shard's local
+    fingerprint range of A is ONE contiguous ctr word range — every shard
+    generates exactly its own slice on device (never the full A slab, so
+    per-chip A memory is m_local * K, not m * K) and folds it against its
+    local packed DB rows; partials psum over ICI, exact mod 2^32. Within a
+    shard the fold walks fixed-size column chunks so the slab working set
+    stays bounded at any DB size (the 2^23 x 1 kB target).
 
+    Per-(shard, chunk) ctr block starts are computed on the host with
+    exact Python integers and shipped in as a model-sharded array — no
+    64-bit arithmetic needs to be traced."""
+    from ..ops import prg_jax, respond_pallas
+    from ..params import LWE_DIMENSION
+
+    k_pad = -(-LWE_DIMENSION // 128) * 128
     model = mesh.shape["model"]
     m_pad = db.lo.shape[0]
-    cols_local = m_pad // model
+    m_local = m_pad // model
+    # chunk size: whole tiles, <= 2^17 rows, and dividing m_local (m_pad is
+    # model*tile_k-aligned, so m_local is a multiple of tile_k)
+    cc = m_local
+    while cc > (1 << 17) and cc % 2 == 0:
+        cc //= 2
+    n_chunks = m_local // cc
+    interp = jax.default_backend() == "cpu"
 
-    def body(seed_words, blk0_words, offset, lo, hi):
+    def body(seed_words, blk0_local, off_local, j0, lo, hi):
         slab = prg_jax.rows_from_blocks(
-            seed_words, blk0_words, offset, rows_per_step, m
+            seed_words, blk0_local[0], off_local[0], cc, LWE_DIMENSION
         )
-        # pad the global slab to m_pad, then take this shard's column range
-        slab = jnp.pad(slab, ((0, 0), (0, m_pad - m)))
-        s = jax.lax.axis_index("model")
-        a_local = jax.lax.dynamic_slice(
-            slab, (0, s * cols_local), (rows_per_step, cols_local)
+        g = jnp.pad(slab, ((0, 0), (0, k_pad - LWE_DIMENSION))).T
+        lo_c = jax.lax.dynamic_slice(lo, (j0, jnp.int32(0)), (cc, lo.shape[1]))
+        hi_c = (
+            jax.lax.dynamic_slice(hi, (j0, jnp.int32(0)), (cc, hi.shape[1]))
+            if hi is not None
+            else None
         )
-        return _packed_partial_i32(a_local, lo, hi, db)
+        return respond_pallas.hint_fold_partial(
+            g, lo_c, hi_c, db.mat_elem_bit_len, db.num_cols, db.tile_k, 128,
+            interp,
+        ).astype(jnp.int32)
 
-    return _sharded_packed_fn(mesh, db, (P(), P(), P()), body)
+    step = _sharded_packed_fn(
+        mesh, db, (P(), P("model", None), P("model"), P()), body
+    )
+
+    seed_words = prg_jax.seed_to_words(seed)
+    hint = np.zeros((k_pad, db.num_cols), np.uint32)
+    for j in range(n_chunks):
+        blk0_all = np.zeros((model, 2), np.uint32)
+        off_all = np.zeros(model, np.int32)
+        for s in range(model):
+            word0 = (s * m_local + j * cc) * LWE_DIMENSION
+            blk0 = (word0 * 4) // prg_jax.RATE
+            blk0_all[s] = (blk0 & 0xFFFFFFFF, blk0 >> 32)
+            off_all[s] = word0 - blk0 * (prg_jax.RATE // 4)
+        out = step(seed_words, blk0_all, off_all, jnp.int32(j * cc))
+        hint += np.asarray(out)  # uint32 wrap add == exact mod 2^32
+    return hint[:LWE_DIMENSION]
 
 
 def sharded_hint_accumulate_fn(mesh: Mesh):

@@ -18,6 +18,7 @@ def test_ctr_block_definition(rng):
 
 
 def test_ctr_device_matches_host(rng):
+    """ctr A is fingerprint-major: device fp slabs == host expansion."""
     import jax.numpy as jnp  # noqa: F401
 
     from chalametpir_tpu.ops import prg_jax
@@ -26,11 +27,24 @@ def test_ctr_device_matches_host(rng):
     sw = prg_jax.seed_to_words(seed)
     rows, cols = 9, 411
     a_host = prg.expand_seed(rows, cols, seed, mode="ctr")
-    a_dev = np.asarray(prg_jax.expand_rows_device(sw, 0, rows, cols))
-    assert np.array_equal(a_dev, a_host)
-    assert np.array_equal(
-        np.asarray(prg_jax.expand_rows_device(sw, 4, 3, cols)), a_host[4:7]
+    # full expansion: fp slab (cols, rows) == A transposed
+    slab = np.asarray(prg_jax.expand_fp_slab_device(sw, 0, cols, rows))
+    assert np.array_equal(slab.T, a_host)
+    # a mid-range fingerprint slice generates exactly its own columns
+    part = np.asarray(prg_jax.expand_fp_slab_device(sw, 100, 17, rows))
+    assert np.array_equal(part.T, a_host[:, 100:117])
+    # host fp-block helper agrees with the device slab
+    host_blk = prg.expand_fp_block(rows, 100, 17, seed)
+    assert np.array_equal(host_blk, part)
+
+
+def test_ctr_iter_row_blocks_matches_full(rng):
+    seed = rng.bytes(32)
+    a = prg.expand_seed(13, 57, seed, mode="ctr")
+    got = np.concatenate(
+        [blk for _, blk in prg.iter_row_blocks(13, 57, seed, 4, mode="ctr")]
     )
+    assert np.array_equal(got, a)
 
 
 def test_ctr_differs_from_stream(rng):

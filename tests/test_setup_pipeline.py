@@ -1,0 +1,55 @@
+"""Streaming ctr setup pipeline: exactness vs the numpy oracle backend.
+
+The pipelined path (models/server._setup_jax_ctr_pipelined) overlaps the
+chunk-ordered encode, the packed upload, and the on-device hint folds; it
+must produce byte-identical (hint, filter params) to the oracle numpy
+backend for the same filter seed, and a serving-equivalent database.
+"""
+
+import numpy as np
+import pytest
+
+from chalametpir_tpu import Client, Server
+from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+from chalametpir_tpu.utils import generate_random_kv_database
+
+
+@pytest.mark.parametrize("arity", [3, 4])
+def test_pipelined_setup_matches_numpy_oracle(arity, rng):
+    db = generate_random_kv_database(600, rng=rng, value_byte_len=(1, 96))
+    seed = rng.bytes(32)
+
+    server_jax, hint_jax, fp_jax = Server.setup(
+        seed, db, arity=arity, backend="jax", prg_mode="ctr",
+        rng=np.random.default_rng(7),
+    )
+    assert server_jax._layout == "packed"  # took the pipelined/packed path
+    server_np, hint_np, fp_np = Server.setup(
+        seed, db, arity=arity, backend="numpy", prg_mode="ctr",
+        rng=np.random.default_rng(7),
+    )
+    assert fp_jax == fp_np
+    assert hint_jax == hint_np  # byte-identical hint matrix
+
+    # the packed DB serves identically to the oracle
+    q = np.random.default_rng(1).integers(
+        0, 1 << 32, size=(2, server_np.num_query_cols), dtype=np.uint32
+    )
+    assert np.array_equal(server_jax.respond_batch(q), server_np.respond_batch(q))
+
+
+def test_pipelined_setup_round_trip(rng):
+    db = generate_random_kv_database(500, rng=rng, value_byte_len=(900, 1024))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(
+        seed, db, backend="jax", prg_mode="ctr", rng=rng
+    )
+    client = Client.setup(seed, hint, fparams, prg_mode="ctr", device=False)
+    for key in list(db.keys())[:3]:
+        while True:
+            try:
+                q = client.query(key)
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                continue
+        assert client.process_response(key, server.respond(q)) == db[key]
