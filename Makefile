@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: check test native dryrun golden clean
+.PHONY: check check-tpu test test-tpu native dryrun golden clean
 
 native:
 	$(MAKE) -s -C chalametpir_tpu/native libchalametpir_native.so
@@ -21,6 +21,13 @@ golden:
 # reference's CI matrix of cargo test + wasm runs, test_ci.yml:1-49).
 check: test dryrun
 	@echo "check: OK"
+
+# Real-TPU tier: the compiled-mode kernel assertions (tests/test_tpu_compiled.py)
+# on actual hardware — the analogue of the reference CI running its suite
+# with --features gpu (test_ci.yml:36-48).
+check-tpu: native
+	PIR_TEST_TPU=1 $(PY) -m pytest tests/ -m tpu -q
+	@echo "check-tpu: OK"
 
 clean:
 	$(MAKE) -s -C chalametpir_tpu/native clean

@@ -251,38 +251,86 @@ def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     if emit is not None:
         emit(rec)
 
-    # --- client phases
+    # --- client phases. Methodology mirrors divan's medians
+    # (integrations/benches/offline_phase.rs:59): one discarded warm call,
+    # then the median of N.
     t0 = time.perf_counter()
     client = Client.setup(seed, hint_bytes, filter_param_bytes, prg_mode=PRG_MODE)
     rec["client_setup_s"] = round(time.perf_counter() - t0, 2)
     rec["client_on_device"] = client.uses_device
     log(f"2^{log_n} a{arity}: client_setup {rec['client_setup_s']}s (device={client.uses_device})")
 
-    keys = list(db.keys())[:8]
+    # FrodoPIR offline preprocessing (ia.cr/2022/981): the (b, c) pair is
+    # key-independent, so the paper's client computes it before the query
+    # key is known; the reference evaluates it lazily inside query()
+    # (client.rs:106-107). Both split costs are reported: the amortized
+    # offline cost per query, and the online (pooled) query latency.
+    pool = 16
     t0 = time.perf_counter()
-    queries_bytes = []
-    for key in keys:
+    client.prepare_queries(pool)
+    prep_s = time.perf_counter() - t0
+    rec["client_prepare_per_query_ms"] = round(prep_s / pool * 1e3, 2)
+    rec["client_pool"] = pool
+    log(f"2^{log_n} a{arity}: prepare_queries({pool}) {prep_s:.2f}s")
+
+    def _query_retry(fn, key):
         while True:
             try:
-                queries_bytes.append(client.query(key))
-                break
+                return fn(key)
             except ArithmeticOverflowAddingQueryIndicator:
-                pass
-    rec["client_query_ms"] = round((time.perf_counter() - t0) / len(keys) * 1e3, 2)
-    log(f"2^{log_n} a{arity}: client_query {rec['client_query_ms']} ms/query")
+                continue
 
-    # end-to-end serialized path (includes tunnel transfers both ways)
-    t0 = time.perf_counter()
+    keys = list(db.keys())[:16]
+    # online (pooled) query: warm 1, median of 8
+    _query_retry(client.query, keys[0])
+    times, queries_bytes = [], []
+    for key in keys[1:9]:
+        t0 = time.perf_counter()
+        queries_bytes.append(_query_retry(client.query, key))
+        times.append(time.perf_counter() - t0)
+    rec["client_query_ms"] = round(float(np.median(times)) * 1e3, 3)
+    # inline query (the reference's lazy order): warm 1, median of 5
+    _query_retry(client.query_inline, keys[9])
+    times = []
+    for key in keys[10:15]:
+        t0 = time.perf_counter()
+        _query_retry(client.query_inline, key)
+        times.append(time.perf_counter() - t0)
+    rec["client_query_inline_ms"] = round(float(np.median(times)) * 1e3, 2)
+    log(
+        f"2^{log_n} a{arity}: client_query {rec['client_query_ms']} ms online "
+        f"(pool), {rec['client_query_inline_ms']} ms inline, "
+        f"prepare {rec['client_prepare_per_query_ms']} ms/q amortized"
+    )
+
+    # end-to-end serialized respond (includes tunnel transfers both ways):
+    # warm 1, median of 5
     response_bytes = server.respond(queries_bytes[0])
-    rec["server_respond_e2e_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        response_bytes = server.respond(queries_bytes[0])
+        times.append(time.perf_counter() - t0)
+    rec["server_respond_e2e_ms"] = round(float(np.median(times)) * 1e3, 2)
 
-    t0 = time.perf_counter()
-    value = client.process_response(keys[0], response_bytes)
-    rec["client_process_response_us"] = round((time.perf_counter() - t0) * 1e6, 1)
-    assert value == db[keys[0]], "retrieval mismatch!"
+    # process_response: warm 1, median of 32 (pending state restored via
+    # the reference's own bench hooks, client.rs:60-71)
+    key0 = keys[1]
+    value = client.process_response(key0, response_bytes)
+    assert value == db[key0], "retrieval mismatch!"
+    pending = client.discard_query(keys[2])
+    resp2 = server.respond(queries_bytes[1])
+    times = []
+    for _ in range(32):
+        client.insert_query(keys[2], pending)
+        t0 = time.perf_counter()
+        value = client.process_response(keys[2], resp2)
+        times.append(time.perf_counter() - t0)
+    assert value == db[keys[2]], "retrieval mismatch (hooked)!"
+    rec["client_process_response_us"] = round(float(np.median(times)) * 1e6, 2)
     log(
         f"2^{log_n} a{arity}: e2e {rec['server_respond_e2e_ms']} ms, "
-        f"process_response {rec['client_process_response_us']} us"
+        f"process_response {rec['client_process_response_us']} us (median-32)"
     )
     return rec
 
@@ -342,10 +390,11 @@ def main() -> None:
 
     if RUN_MATRIX:
         matrix = []
-        # small-config sweep mirroring integrations/benches/offline_phase.rs:40-57
-        for log_n, arity in ((16, 3), (16, 4), (18, 3), (18, 4)):
-            # generous per-config floor: ~2^18 takes ~30 s warm
-            need = 25 if log_n == 16 else 70
+        # divan config sweep (integrations/benches/offline_phase.rs:40-57),
+        # completed with the 2^20 arity-4 headline row
+        for log_n, arity in ((16, 3), (16, 4), (18, 3), (18, 4), (20, 4)):
+            # per-config floors: ~2^18 takes ~30 s warm, 2^20 ~60-120 s
+            need = {16: 25, 18: 70, 20: 150}[log_n]
             if left() < need:
                 log(f"matrix: skipping 2^{log_n} a{arity} (budget)")
                 matrix.append({"config": f"2^{log_n} arity{arity}", "skipped": "budget"})
@@ -357,6 +406,61 @@ def main() -> None:
                 matrix.append({"config": f"2^{log_n} arity{arity}", "error": repr(e)})
             result["matrix"] = matrix
             print(json.dumps(result), flush=True)
+
+    # scaling anchor above 2^20 (single chip): respond scan + setup only,
+    # attempted when the remaining budget allows (PIR_BENCH_SCALING_LOG_N
+    # to force a size; 0 disables; off for scaled-down smoke runs)
+    scale_default = "21" if LOG_N >= 20 else "0"
+    scale_log_n = int(os.environ.get("PIR_BENCH_SCALING_LOG_N", scale_default))
+    if scale_log_n and left() > 200:
+        try:
+            rec = _run_scaling_point(scale_log_n, rng)
+            result["scaling"] = rec
+            print(json.dumps(result), flush=True)
+        except Exception as e:
+            log(f"scaling 2^{scale_log_n} failed: {e!r}")
+            result["scaling"] = {"config": f"2^{scale_log_n}", "error": repr(e)}
+            print(json.dumps(result), flush=True)
+
+
+def _run_scaling_point(log_n, rng):
+    """Respond-scan + setup at a >2^20 size (the 2^23 sharded target's
+    kernel regime on one chip): value 1 kB, arity 3."""
+    import gc
+
+    from chalametpir_tpu import Server
+    from chalametpir_tpu.core import matrix_io
+
+    n = 1 << log_n
+    rec = {"config": f"2^{log_n}x1024B arity3 prg={PRG_MODE}"}
+    db = build_db(n, 1024, rng)
+    gc.freeze()
+    try:
+        seed = rng.bytes(32)
+        t0 = time.perf_counter()
+        server, hint_bytes, fpb = Server.setup(
+            seed, db, arity=3, prg_mode=PRG_MODE, rng=rng
+        )
+        rec["server_setup_s"] = round(time.perf_counter() - t0, 2)
+        rec["b"] = server.mat_elem_bit_len
+        q_rng = np.random.default_rng(0xD15C)
+        queries = q_rng.integers(
+            0, 1 << 32, size=(1, server.num_query_cols), dtype=np.uint32
+        )
+        scan_seconds = make_respond_chain(server)
+        t_respond = scan_seconds(queries, 1)
+        cf = matrix_io.compression_factor(server.mat_elem_bit_len)
+        ref_db_bytes = server.num_query_cols * (-(-server.num_response_cols // cf)) * 4
+        rec["server_respond_ms"] = round(t_respond * 1e3, 3)
+        rec["respond_scan_GBps"] = round(ref_db_bytes / t_respond / 1e9, 2)
+        log(
+            f"scaling 2^{log_n}: setup {rec['server_setup_s']}s, "
+            f"scan {rec['respond_scan_GBps']} GB/s"
+        )
+        return rec
+    finally:
+        gc.unfreeze()
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ fall back to the pure numpy paths.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -15,6 +16,22 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libchalametpir_native.so")
+_STAMP = _SO + ".src.sha256"
+
+
+def _src_digest() -> str:
+    with open(os.path.join(_DIR, "engine.cpp"), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _stamp_ok() -> bool:
+    """Freshness by CONTENT, not mtime: checkout order or archive
+    extraction can reset mtimes and leave a stale binary loaded."""
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() == _src_digest()
+    except OSError:
+        return False
 
 
 def _build() -> None:
@@ -23,11 +40,11 @@ def _build() -> None:
         check=True,
         capture_output=True,
     )
+    with open(_STAMP, "w") as f:
+        f.write(_src_digest())
 
 
-if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-    os.path.join(_DIR, "engine.cpp")
-):
+if not os.path.exists(_SO) or not _stamp_ok():
     _build()
 
 _lib = ctypes.CDLL(_SO)

@@ -101,6 +101,12 @@ def build_pallas_db(
     import jax.numpy as jnp
 
     chunk_rows = _round_up(chunk_rows, tile_k)
+    if sharding is not None:
+        # sharded placement: build the full host planes and land them with
+        # ONE sharded device_put each — chunk accumulation + concatenate
+        # would hold ~2x the DB in HBM at peak (host RAM is the cheap
+        # place for the staging copy)
+        chunk_rows = m_pad
     # unsharded chunks ship a TIGHT lo (no zero columns/rows) and land in a
     # pre-allocated device buffer via donated dynamic_update_slice — the
     # host link is ~4 orders slower than an HBM copy, and accumulating

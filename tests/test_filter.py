@@ -52,13 +52,14 @@ def test_construction_covers_all_keys(arity, rng):
 
 @pytest.mark.parametrize("arity,bpe_factor", [(3, 1.13), (4, 1.08)])
 def test_bits_per_entry_close_to_paper(arity, bpe_factor, rng):
-    # reference asserts ~1.13*b (arity 3) / ~1.08*b (arity 4) on a 1e6 DB
-    # (matrix.rs:1488-1518); at 2^15 the overhead is slightly larger
-    n = 1 << 15
+    # reference asserts ~1.13*b (arity 3) / ~1.08*b (arity 4) on a 10^6
+    # DB (matrix.rs:1488-1518) — same scale here (native peel makes the
+    # million-key construction a couple of seconds)
+    n = 1_000_000
     b = 10
     digests = rng.integers(0, 1 << 64, size=(n, 4), dtype=np.uint64)
     filt, *_ = construct_filter(digests, arity, b, 100, rng)
-    assert filt.bits_per_entry() < bpe_factor * b * 1.15
+    assert filt.bits_per_entry() < bpe_factor * b * 1.01
 
 
 def test_empty_db_rejected(rng):

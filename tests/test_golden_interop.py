@@ -12,6 +12,18 @@ is pinned to the published empty-message vector in test_keccak.py.
 Fixtures live in tests/golden/ and are regenerated with
 `python tests/golden/generate.py` (which refuses to overwrite unless
 GOLDEN_REGEN=1).
+
+KNOWN LIMITATION (advisor finding): because the fixtures are generated
+by this codebase, they pin future regressions but cannot certify
+cross-implementation compatibility against the Rust reference — an
+already-present stream-mode divergence would be invisible here. The
+chain of custody is instead: TurboSHAKE pinned to its published test
+vector (test_keccak.py) -> murmur/mix/sizing formulas asserted against
+the written formulas -> these bytes frozen. When a Rust toolchain is
+available, regenerate these fixtures from the reference crates (or
+capture vectors from a live reference peer) to upgrade the pin to a
+true interop certificate. ctr-mode fixtures are exempt: that mode is
+this framework's own protocol (no Rust counterpart exists).
 """
 
 import hashlib
