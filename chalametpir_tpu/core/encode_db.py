@@ -127,14 +127,20 @@ def from_kv_database_streaming(
         raise RuntimeError("streaming encode requires the native engine")
     if len(db) == 0:
         raise EmptyKVDatabase()
-    keys = list(db.keys())
-    values = list(db.values())
+    from ..utils import telemetry
 
-    digests = hashing.hash_of_keys_batch(keys)
-    filt, reverse_order, reverse_h, key_index = construct_filter(
-        digests, arity, mat_elem_bit_len, max_attempt_count, rng
-    )
-    max_value_len = max(len(v) for v in values)
+    with telemetry.span("encode_stream.listify"):
+        keys = list(db.keys())
+        values = list(db.values())
+
+    with telemetry.span("encode_stream.hash"):
+        digests = hashing.hash_of_keys_batch(keys)
+    with telemetry.span("encode_stream.filter"):
+        filt, reverse_order, reverse_h, key_index = construct_filter(
+            digests, arity, mat_elem_bit_len, max_attempt_count, rng
+        )
+    with telemetry.span("encode_stream.vscan"):
+        max_value_len = max(len(v) for v in values)
     cols = codec.encoded_row_width(max_value_len, mat_elem_bit_len)
     digest_bytes = np.ascontiguousarray(digests).view(np.uint8).reshape(len(keys), 32)
 
@@ -146,8 +152,14 @@ def from_kv_database_streaming(
     )
     progress = np.zeros(n_chunks, np.int64)
     # rows are padded to whole chunks (zeros) so every chunk the consumer
-    # packs/uploads has the same shape — one compiled device program
-    mat = _native.alloc_array((n_chunks * chunk_rows, cols), np.uint16)
+    # packs/uploads has the same shape — one compiled device program.
+    # Lazily-zeroed pages (calloc), NOT alloc_array's MAP_POPULATE: under a
+    # fragmented heap (the million-entry db dict) a synchronous populate
+    # stalls many seconds in THP compaction, while first-touch faults land
+    # on the encode worker thread, whose whole pass is hidden behind the
+    # chunk uploads anyway.
+    with telemetry.span("encode_stream.alloc", mb=n_chunks * chunk_rows * cols * 2 >> 20):
+        mat = np.zeros((n_chunks * chunk_rows, cols), np.uint16)
 
     worker = threading.Thread(
         target=_native.encode_assemble_rows16_ordered,

@@ -216,16 +216,30 @@ class Server:
         hint_buf = jnp.zeros((K_PAD, cols), jnp.uint32)
         seed_words = prg_jax.seed_to_words(seed)
 
+        import time as _time
+
+        phase = dict(wait=0.0, pack=0.0, put=0.0, dispatch=0.0, drain=0.0)
         with telemetry.span(
             "server_setup.stream_pack_upload_fold", chunks=n_chunks, m=m, cols=cols
         ):
-            for j in chunks:
+            it = iter(chunks)
+            while True:
+                t0 = _time.perf_counter()
+                j = next(it, None)
+                phase["wait"] += _time.perf_counter() - t0
+                if j is None:
+                    break
                 r0 = j * cc
+                t0 = _time.perf_counter()
                 lo_host, hi_host = _native_eng.build_packed_planes(
                     mat16[r0 : r0 + cc], cc, c_pad, pack, bits, tight_lo=True
                 )
+                phase["pack"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 lo_c = jax.device_put(lo_host)
                 hi_c = jax.device_put(hi_host) if hb > 0 else None
+                phase["put"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 blk0_words, offset = prg_jax.fp_block_start(r0, LWE_DIMENSION)
                 out = _gen_fold_tight(
                     seed_words, blk0_words, offset, lo_c, hi_c,
@@ -235,7 +249,14 @@ class Server:
                 lo_dev = respond_pallas._write_rows(lo_dev, lo_c, jnp.int32(r0))
                 if hb > 0:
                     hi_dev = respond_pallas._write_rows(hi_dev, hi_c, jnp.int32(r0))
+                phase["dispatch"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
+            phase["drain"] = _time.perf_counter() - t0
+        telemetry.trace_event(
+            "stream_pipeline_phases",
+            **{k: round(v, 2) for k, v in phase.items()},
+        )
 
         pdb = respond_pallas.PallasDB(lo_dev, hi_dev, bit_len, m, cols, tile_k)
         return cls("jax", pdb, m, cols, bit_len, "packed"), hint, filt

@@ -45,6 +45,14 @@ def span(name: str, **fields):
         print(f"[trace] {name}: {dt:.3f}s {extra}".rstrip(), file=sys.stderr, flush=True)
 
 
+def trace_event(name: str, **fields) -> None:
+    """One-off trace line (no timing) when tracing is enabled."""
+    if not _ENABLED:
+        return
+    extra = " ".join(f"{k}={v}" for k, v in fields.items())
+    print(f"[trace] {name}: {extra}".rstrip(), file=sys.stderr, flush=True)
+
+
 @contextlib.contextmanager
 def profile_to(logdir: str):
     """JAX profiler trace around a block (TPU kernel timeline)."""
