@@ -46,6 +46,7 @@ PRG_MODE = os.environ.get("PIR_BENCH_PRG", "ctr")
 
 BASELINE_RESPOND_GBPS = 102.51  # m8g.8xlarge, README.md:60-61
 T_START = time.perf_counter()
+H2D_RATE: float | None = None  # measured once in main()
 
 
 def log(msg: str) -> None:
@@ -56,7 +57,17 @@ def left() -> float:
     return BUDGET_S - (time.perf_counter() - T_START)
 
 
+_db_cache: dict = {}
+
+
 def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, bytes]:
+    """Random KV DB; the most recent (n, value_len) build is cached so the
+    arity-3 and arity-4 rows of one size share it (a 2^20 dict takes ~40 s
+    of pure Python to construct — rebuilding it was most of the budget
+    that used to squeeze the 2^20 arity-4 row out of the artifact)."""
+    key = (n, value_len)
+    if key in _db_cache:
+        return _db_cache[key]
     keys_buf = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
     vals_buf = rng.integers(0, 256, size=n * value_len, dtype=np.uint8).tobytes()
     db = {
@@ -66,6 +77,8 @@ def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, by
     while len(db) < n:  # vanishingly unlikely 32-byte key collisions
         k = rng.integers(0, 256, size=32, dtype=np.uint8).tobytes()
         db[k] = vals_buf[:value_len]
+    _db_cache.clear()  # keep at most one DB alive
+    _db_cache[key] = db
     return db
 
 
@@ -215,6 +228,17 @@ def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     rec["b"] = server.mat_elem_bit_len
     log(f"2^{log_n} a{arity}: server_setup {rec['server_setup_s']}s (b={server.mat_elem_bit_len})")
 
+    # attribution: setup is floored by shipping the packed DB through the
+    # host<->device link (~0.03 GB/s tunnel here; ~13 GB/s on real PCIe,
+    # where the same upload is <0.1 s)
+    if server._backend == "jax" and server._layout == "packed" and H2D_RATE:
+        planes = server._planes
+        upload_bytes = planes.lo.shape[0] * server.num_response_cols + (
+            planes.hi.size if planes.hi is not None else 0
+        )
+        rec["server_setup_upload_GB"] = round(upload_bytes / 1e9, 3)
+        rec["server_setup_tunnel_floor_s"] = round(upload_bytes / 1e9 / H2D_RATE, 1)
+
     # --- respond scan (the headline): measured before any client work so a
     # timeout can never eat it. Uses synthetic uniform queries — the scan
     # is input-independent integer work, asserted exact vs oracle in tests.
@@ -356,7 +380,12 @@ def main() -> None:
         warm = jax.device_put(np.zeros(1 << 20, np.int8))
         float(jnp.max(warm.astype(jnp.int32)))  # device init + queue drain
         del warm
-        probe = np.zeros(32 << 20, np.int8)
+        # random payload: the tunnel transport compresses, so a zeros
+        # probe reads ~2x the rate the (incompressible) packed DB planes
+        # actually get
+        probe = np.random.default_rng(7).integers(
+            -128, 128, size=32 << 20
+        ).astype(np.int8)
         t0 = time.perf_counter()
         d = jax.device_put(probe)
         float(jnp.max(d.astype(jnp.int32)))  # force the transfer to drain
@@ -365,6 +394,8 @@ def main() -> None:
     except Exception:
         pass
     log(f"tunnel h2d ~{h2d_rate} GB/s")
+    global H2D_RATE
+    H2D_RATE = h2d_rate
 
     result = {
         "metric": "server_respond_db_scan_GBps",
@@ -391,10 +422,11 @@ def main() -> None:
     if RUN_MATRIX:
         matrix = []
         # divan config sweep (integrations/benches/offline_phase.rs:40-57),
-        # completed with the 2^20 arity-4 headline row
-        for log_n, arity in ((16, 3), (16, 4), (18, 3), (18, 4), (20, 4)):
-            # per-config floors: ~2^18 takes ~30 s warm, 2^20 ~60-120 s
-            need = {16: 25, 18: 70, 20: 150}[log_n]
+        # completed with the 2^20 arity-4 headline row — run FIRST so it
+        # reuses the headline's still-cached 2^20 DB dict
+        for log_n, arity in ((20, 4), (16, 3), (16, 4), (18, 3), (18, 4)):
+            # per-config floors (warm, DB dict cached for the 2^20 row)
+            need = {16: 25, 18: 45, 20: 100}[log_n]
             if left() < need:
                 log(f"matrix: skipping 2^{log_n} a{arity} (budget)")
                 matrix.append({"config": f"2^{log_n} arity{arity}", "skipped": "budget"})

@@ -569,8 +569,13 @@ _jit_cache: dict = {}
 
 def _ctr_chunk_cols(m: int, tile_k: int) -> int:
     """DB-row chunk size for ctr hint folds / the streaming upload:
-    ~2^17 rows, whole tiles."""
-    return min(-(-m // tile_k) * tile_k, _CTR_CHUNK_COLS)
+    ~2^17 rows, whole tiles, chunks sized EVENLY over m. A fixed 2^17
+    chunk would round m up to whole chunks — at 2^18/arity-3 geometry
+    that shipped 25% pure padding through the host link; dividing m
+    evenly keeps the overhang under one tile per chunk."""
+    n_chunks = max(1, -(-m // _CTR_CHUNK_COLS))
+    per_chunk = -(-m // n_chunks)
+    return -(-per_chunk // tile_k) * tile_k
 
 
 def _accum_hint(buf, out):

@@ -13,6 +13,7 @@
 // Exposed as a plain C ABI consumed via ctypes (chalametpir_tpu/native/engine.py).
 // Build: make -C chalametpir_tpu/native
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -615,9 +616,14 @@ void build_packed_planes16(const uint16_t* mat, int64_t m, int64_t c,
       for (int64_t j = 0; j < c; ++j)
         hi_row[j] = static_cast<uint8_t>(src[j] >> 8);
     } else {
-      for (int64_t j = 0; j < c; ++j) {
-        const int64_t f = j / pc, t = j - f * pc;
-        hi_row[t] |= static_cast<uint8_t>(src[j] >> 8) << (bits * f);
+      // field-major (no per-element division, vectorizes):
+      // field f of word t <- logical column f*pc + t
+      for (int64_t f = 0; f * pc < c; ++f) {
+        const int64_t t_end = std::min(pc, c - f * pc);
+        const uint16_t* col = src + f * pc;
+        const int shift = bits * static_cast<int>(f);
+        for (int64_t t = 0; t < t_end; ++t)
+          hi_row[t] |= static_cast<uint8_t>(col[t] >> 8) << shift;
       }
     }
   }
@@ -837,10 +843,14 @@ void build_packed_planes(const uint32_t* mat, int64_t m, int64_t c,
       for (int64_t j = 0; j < c; ++j)
         hi_row[j] = static_cast<uint8_t>(src[j] >> 8);
     } else {
+      // field-major (no per-element division, vectorizes):
       // field f of word t <- logical column f*pc + t
-      for (int64_t j = 0; j < c; ++j) {
-        const int64_t f = j / pc, t = j - f * pc;
-        hi_row[t] |= static_cast<uint8_t>(src[j] >> 8) << (bits * f);
+      for (int64_t f = 0; f * pc < c; ++f) {
+        const int64_t t_end = std::min(pc, c - f * pc);
+        const uint32_t* col = src + f * pc;
+        const int shift = bits * static_cast<int>(f);
+        for (int64_t t = 0; t < t_end; ++t)
+          hi_row[t] |= static_cast<uint8_t>(col[t] >> 8) << shift;
       }
     }
   }
