@@ -22,7 +22,7 @@ Env knobs:
   PIR_BENCH_VALUE_LEN  value bytes (default 1024)
   PIR_BENCH_BATCH      batched-respond size (default 64)
   PIR_BENCH_BUDGET_S   wall budget; matrix configs are skipped when the
-                       remaining budget cannot fit them (default 380)
+                       remaining budget cannot fit them (default 520)
   PIR_BENCH_MATRIX     "0" disables the small-config matrix
   PIR_BENCH_PRG        "ctr" (default, TPU-native) or "stream" (interop)
 """
@@ -40,7 +40,7 @@ LOG_N = int(os.environ.get("PIR_BENCH_LOG_N", "20"))
 ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
 VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
 BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
-BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "380"))
+BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "520"))
 RUN_MATRIX = os.environ.get("PIR_BENCH_MATRIX", "1") not in ("0", "")
 PRG_MODE = os.environ.get("PIR_BENCH_PRG", "ctr")
 
@@ -68,15 +68,25 @@ def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, by
     key = (n, value_len)
     if key in _db_cache:
         return _db_cache[key]
+    from chalametpir_tpu.native.engine import alloc_array
+
+    # values must be genuinely random: the host<->device tunnel transport
+    # compresses, so low-entropy filler would flatter every upload-bound
+    # number. Generate into a MAP_POPULATE buffer in chunks (a GB-scale
+    # rng.bytes() spends ~10 s just demand-paging its output on this VM)
+    # and materialize bytes objects via numpy 'S' views, not a Python loop.
+    vals_buf = alloc_array((n * value_len,), np.uint8)
+    step = 64 << 20
+    for i in range(0, vals_buf.size, step):
+        chunk = min(step, vals_buf.size - i)
+        vals_buf[i : i + chunk] = np.frombuffer(rng.bytes(chunk), np.uint8)
     keys_buf = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
-    vals_buf = rng.integers(0, 256, size=n * value_len, dtype=np.uint8).tobytes()
-    db = {
-        keys_buf[i].tobytes(): vals_buf[i * value_len : (i + 1) * value_len]
-        for i in range(n)
-    }
+    keys = keys_buf.view("S32").ravel().tolist()
+    vals = vals_buf.view(f"S{value_len}").tolist()
+    db = dict(zip(keys, vals))
     while len(db) < n:  # vanishingly unlikely 32-byte key collisions
         k = rng.integers(0, 256, size=32, dtype=np.uint8).tobytes()
-        db[k] = vals_buf[:value_len]
+        db[k] = vals[0]
     _db_cache.clear()  # keep at most one DB alive
     _db_cache[key] = db
     return db
@@ -275,6 +285,22 @@ def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     if emit is not None:
         emit(rec)
 
+    # --- client phases (kept non-fatal: the respond numbers above are
+    # already emitted; a client-side device failure must not zero them)
+    try:
+        _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
+                       filter_param_bytes)
+    except Exception as e:
+        log(f"2^{log_n} a{arity}: client phases failed: {e!r}")
+        rec["client_error"] = repr(e)
+    return rec
+
+
+def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
+                   filter_param_bytes):
+    from chalametpir_tpu import Client
+    from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+
     # --- client phases. Methodology mirrors divan's medians
     # (integrations/benches/offline_phase.rs:59): one discarded warm call,
     # then the median of N.
@@ -356,7 +382,6 @@ def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
         f"2^{log_n} a{arity}: e2e {rec['server_respond_e2e_ms']} ms, "
         f"process_response {rec['client_process_response_us']} us (median-32)"
     )
-    return rec
 
 
 def main() -> None:
@@ -444,7 +469,11 @@ def main() -> None:
     # to force a size; 0 disables; off for scaled-down smoke runs)
     scale_default = "21" if LOG_N >= 20 else "0"
     scale_log_n = int(os.environ.get("PIR_BENCH_SCALING_LOG_N", scale_default))
-    if scale_log_n and left() > 200:
+    # the scaling setup is tunnel-bound: gate on the measured rate so the
+    # attempt only starts when it can actually finish inside the budget
+    # (packed 2^21 planes ~2.5 GB; +60 s for DB build/encode/scan/slack)
+    scale_need = 60 + (2.5 * (1 << scale_log_n) / (1 << 21)) / (H2D_RATE or 0.03)
+    if scale_log_n and left() > scale_need:
         try:
             rec = _run_scaling_point(scale_log_n, rng)
             result["scaling"] = rec
@@ -453,6 +482,10 @@ def main() -> None:
             log(f"scaling 2^{scale_log_n} failed: {e!r}")
             result["scaling"] = {"config": f"2^{scale_log_n}", "error": repr(e)}
             print(json.dumps(result), flush=True)
+    elif scale_log_n:
+        log(f"scaling 2^{scale_log_n}: skipped (need ~{scale_need:.0f}s, left {left():.0f}s)")
+        result["scaling"] = {"config": f"2^{scale_log_n}", "skipped": "budget"}
+        print(json.dumps(result), flush=True)
 
 
 def _run_scaling_point(log_n, rng):

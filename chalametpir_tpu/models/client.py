@@ -118,18 +118,31 @@ class Client:
         if hint_mat_m.shape[0] != LWE_DIMENSION:
             raise InvalidHintMatrix()
 
-        if device == "auto":
+        auto = device == "auto"
+        if auto:
             device = _accelerator_present()
         if device:
-            from ..ops.client_device import DeviceQueryEngine
+            try:
+                from ..ops.client_device import DeviceQueryEngine
 
-            if prg_mode == "ctr":
-                engine = DeviceQueryEngine.from_seed_ctr(seed, filt.num_fingerprints)
-            else:
-                a_host = prg.expand_seed(
-                    LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
-                )
-                engine = DeviceQueryEngine.from_host_matrix(a_host)
+                if prg_mode == "ctr":
+                    engine = DeviceQueryEngine.from_seed_ctr(
+                        seed, filt.num_fingerprints
+                    )
+                else:
+                    a_host = prg.expand_seed(
+                        LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
+                    )
+                    engine = DeviceQueryEngine.from_host_matrix(a_host)
+            except Exception:
+                # auto means best-effort: a device-side failure (e.g. HBM
+                # exhausted by a co-tenant server) falls back to the host
+                # engine; an explicit device=True surfaces the error
+                if not auto:
+                    raise
+                engine = None
+                device = False
+        if device:
             client = cls(None, hint_mat_m, filt, device_engine=engine)
         else:
             pub_mat_a = prg.expand_seed(

@@ -53,3 +53,22 @@ def test_pipelined_setup_round_trip(rng):
             except ArithmeticOverflowAddingQueryIndicator:
                 continue
         assert client.process_response(key, server.respond(q)) == db[key]
+
+
+def test_ctr_chunk_cols_even_division():
+    """Chunks divide m evenly (waste < one tile per chunk) — a fixed 2^17
+    chunk shipped up to 25% pure padding through the host link at
+    2^18/arity-3-like geometries."""
+    from chalametpir_tpu.models.server import _CTR_CHUNK_COLS, _ctr_chunk_cols
+
+    tile_k = 2048
+    for m in (1, 2048, 74752, 294912, 302173, 1048576, 1179648, 2359296):
+        cc = _ctr_chunk_cols(m, tile_k)
+        assert cc % tile_k == 0
+        n_chunks = -(-m // cc)
+        m_pad = n_chunks * cc
+        assert m_pad >= m
+        # padding bounded by one tile per chunk (plus tile rounding of cc)
+        assert m_pad - m < n_chunks * tile_k + tile_k
+        # chunks stay near the 2^17 target, never above one tile over it
+        assert cc <= _CTR_CHUNK_COLS + tile_k
