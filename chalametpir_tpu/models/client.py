@@ -68,11 +68,15 @@ class Client:
         hint_mat_m: np.ndarray,
         filt: BinaryFuseFilter,
         device_engine=None,
+        seed: bytes | None = None,
+        prg_mode: str = "stream",
     ):
         self._pub_mat_a = pub_mat_a
         self._hint_mat_m = hint_mat_m
         self._filter = filt
         self._engine = device_engine
+        self._seed = seed  # retained for save(); public protocol material
+        self._prg_mode = prg_mode
         self._pending: dict[bytes, Query] = {}
         # FrodoPIR query preprocessing (ia.cr/2022/981: the (b, c) pair is
         # key-independent, so the paper's client prepares it offline; the
@@ -143,12 +147,17 @@ class Client:
                 engine = None
                 device = False
         if device:
-            client = cls(None, hint_mat_m, filt, device_engine=engine)
+            client = cls(
+                None, hint_mat_m, filt, device_engine=engine,
+                seed=seed, prg_mode=prg_mode,
+            )
         else:
             pub_mat_a = prg.expand_seed(
                 LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
             )
-            client = cls(pub_mat_a, hint_mat_m, filt)
+            client = cls(
+                pub_mat_a, hint_mat_m, filt, seed=seed, prg_mode=prg_mode
+            )
         if prepared_queries > 0:
             client.prepare_queries(prepared_queries)
         if auto_refill:
@@ -435,6 +444,68 @@ class Client:
         if kv[:32] != digest_bytes:
             raise DecodedRowNotPrependedWithDigestOfKey()
         return kv[32:]
+
+    # -- persistence -----------------------------------------------------------
+    #
+    # Counterpart of Server.save/load (the reference has no client
+    # persistence; its wire formats are the only state transfer,
+    # SURVEY.md section 5). A restarted client process resumes with its
+    # pending queries and preprocessed pool intact.
+
+    def save(self, path: str) -> None:
+        """Persist the full client state. The archive contains SECRET
+        material — the pending unblinding vectors and any preprocessed
+        (b, c) pairs are LWE secrets; protect the file like a key."""
+        if self._seed is None:
+            raise ValueError("client was constructed without a seed; cannot save")
+        pend_keys = list(self._pending.keys())
+        with self._prepared_lock:
+            pool = list(self._prepared)
+        arrays = dict(
+            hint=self._hint_mat_m,
+            fparams=np.frombuffer(self._filter.to_bytes(), np.uint8),
+            seed=np.frombuffer(self._seed, np.uint8),
+            prg_mode=np.array([self._prg_mode]),
+            key_blob=np.frombuffer(b"".join(pend_keys) or b"\0", np.uint8),
+            key_lens=np.array([len(k) for k in pend_keys], np.int64),
+        )
+        if pend_keys:
+            arrays["pending_c"] = np.stack(
+                [self._pending[k].vec_c for k in pend_keys]
+            )
+        if pool:
+            arrays["pool_b"] = np.stack([e[0] for e in pool])
+            arrays["pool_c"] = np.stack([e[1] for e in pool])
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str, device: bool | str = "auto") -> "Client":
+        """Rebuild a client from a save() archive. A is regenerated from
+        the stored (public) seed, on device when one is available."""
+        from ..core import matrix_io
+
+        with np.load(path) as archive:
+            hint_bytes = matrix_io.matrix_to_bytes(archive["hint"])
+            fparams = archive["fparams"].tobytes()
+            seed = archive["seed"].tobytes()
+            prg_mode = str(archive["prg_mode"][0])
+            client = cls.setup(
+                seed, hint_bytes, fparams, prg_mode=prg_mode, device=device
+            )
+            blob = archive["key_blob"].tobytes()
+            off = 0
+            for i, ln in enumerate(archive["key_lens"]):
+                key = blob[off : off + int(ln)]
+                off += int(ln)
+                client._pending[key] = Query(vec_c=archive["pending_c"][i].copy())
+            if "pool_b" in archive:
+                entries = [
+                    (archive["pool_b"][i].copy(), archive["pool_c"][i].copy())
+                    for i in range(archive["pool_b"].shape[0])
+                ]
+                with client._prepared_lock:
+                    client._prepared.extend(entries)
+        return client
 
     # -- benchmarking hooks (reference: client.rs:60-71) -----------------------
 

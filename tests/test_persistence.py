@@ -59,3 +59,48 @@ def test_save_load_from_sharded_server(rng, tmp_path):
     q = _query(client, key)
     assert restored.respond(q) == server.respond(q)
     assert client.process_response(key, restored.respond(q)) == db[key]
+
+
+def test_client_save_load_round_trip(rng, tmp_path):
+    """A restarted client resumes with pending queries and the
+    preprocessed pool intact — beyond the reference, whose only client
+    state transfer is re-running setup (SURVEY.md section 5)."""
+    db = generate_random_kv_database(400, rng=rng, value_byte_len=(8, 64))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, arity=3, rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    client.prepare_queries(3)
+    keys = list(db.keys())[:3]
+    pending_q = {k: _query(client, k) for k in keys[:2]}
+
+    path = str(tmp_path / "client.npz")
+    client.save(path)
+    restored = Client.load(path, device=False)
+
+    # pending queries survive: the restarted client decrypts responses to
+    # queries issued before the restart
+    for k, q in pending_q.items():
+        assert restored.process_response(k, server.respond(q)) == db[k]
+    # the preprocessed pool survives: one entry was consumed per query
+    # above plus whatever overflow retries burned; a fresh query after
+    # restart still works (from pool or inline)
+    assert restored.prepared_query_count <= 3
+    k3 = keys[2]
+    q3 = _query(restored, k3)
+    assert restored.process_response(k3, server.respond(q3)) == db[k3]
+
+
+def test_client_save_load_preserves_duplicate_guard(rng, tmp_path):
+    db = generate_random_kv_database(300, rng=rng, value_byte_len=(8, 32))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, arity=3, rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    key = next(iter(db))
+    _query(client, key)
+    path = str(tmp_path / "client.npz")
+    client.save(path)
+    restored = Client.load(path, device=False)
+    from chalametpir_tpu.errors import PendingQueryExistsForKey
+
+    with pytest.raises(PendingQueryExistsForKey):
+        restored.query(key)
