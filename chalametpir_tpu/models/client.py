@@ -34,6 +34,12 @@ except Exception:  # pragma: no cover - native build unavailable
     _native = None
 
 
+# resident client A planes (4 int8 byte planes, 4*m*1774 B) switch to the
+# streaming engine past this HBM budget (v5e has 16 GB; the serving DB
+# usually co-tenants)
+RESIDENT_PLANES_MAX_BYTES = 8 << 30
+
+
 def _accelerator_present() -> bool:
     """True when JAX has a non-CPU backend to run the query matvec on."""
     try:
@@ -129,23 +135,45 @@ class Client:
             try:
                 from ..ops.client_device import DeviceQueryEngine
 
+                m = filt.num_fingerprints
                 if prg_mode == "ctr":
-                    engine = DeviceQueryEngine.from_seed_ctr(
-                        seed, filt.num_fingerprints
-                    )
+                    # resident A planes cost 4*m*1774 bytes of HBM; past
+                    # ~8 GB (2^21-class DBs) switch to the streaming
+                    # engine, which regenerates A per batch in O(chunk)
+                    if 4 * m * LWE_DIMENSION > RESIDENT_PLANES_MAX_BYTES:
+                        engine = DeviceQueryEngine.streaming_from_seed_ctr(seed, m)
+                    else:
+                        engine = DeviceQueryEngine.from_seed_ctr(seed, m)
                 else:
                     a_host = prg.expand_seed(
-                        LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
+                        LWE_DIMENSION, m, seed, mode=prg_mode
                     )
                     engine = DeviceQueryEngine.from_host_matrix(a_host)
             except Exception:
                 # auto means best-effort: a device-side failure (e.g. HBM
-                # exhausted by a co-tenant server) falls back to the host
-                # engine; an explicit device=True surfaces the error
-                if not auto:
-                    raise
+                # exhausted by a co-tenant server) falls back — resident
+                # ctr planes retry as the streaming engine, anything else
+                # drops to the host engine; explicit device=True raises
                 engine = None
-                device = False
+                if auto and prg_mode == "ctr":
+                    try:
+                        # streaming construction never touches the device;
+                        # probe it first so a dead device falls through to
+                        # the host engine instead of failing at query time
+                        import jax
+
+                        jax.block_until_ready(
+                            jax.device_put(np.zeros(8, np.int8))
+                        )
+                        engine = DeviceQueryEngine.streaming_from_seed_ctr(
+                            seed, filt.num_fingerprints
+                        )
+                    except Exception:
+                        engine = None
+                if engine is None:
+                    if not auto:
+                        raise
+                    device = False
         if device:
             client = cls(
                 None, hint_mat_m, filt, device_engine=engine,

@@ -118,6 +118,19 @@ class DeviceQueryEngine:
         return cls(buf, k, m, "mk")
 
     @classmethod
+    def streaming_from_seed_ctr(
+        cls, seed: bytes, m: int, cols_per_step: int = 65536
+    ) -> "StreamingQueryEngine":
+        """ctr-mode engine that never materialises A: each matvec batch
+        regenerates A in fingerprint slabs and folds the dots chunk by
+        chunk — O(cols_per_step) HBM at ANY m. Above ~2^21 entries the
+        resident planes (4 * m * 1774 B) no longer fit one chip's HBM;
+        this engine trades per-batch Keccak regeneration for that
+        residency, so the offline prepare path stays on the MXU at
+        2^23-class scale."""
+        return StreamingQueryEngine(seed, m, cols_per_step)
+
+    @classmethod
     def from_host_matrix(cls, a_host: np.ndarray) -> "DeviceQueryEngine":
         """Upload a host-expanded A (stream PRG mode / interop)."""
         from ..utils.compile_cache import enable_compile_cache
@@ -167,6 +180,94 @@ class DeviceQueryEngine:
         if self.layout == "mk":
             return _ternary_planes_matvec_mk(jax.device_put(signs), self._planes)
         return _ternary_planes_matvec_km(jax.device_put(signs), self._planes)
+
+
+class StreamingQueryEngine:
+    """Drop-in for DeviceQueryEngine when A's planes exceed HBM: s . A is
+    computed against on-the-fly ctr slabs of A (fingerprint-major), one
+    `cols_per_step` chunk per device call. Same matvec_batch* surface."""
+
+    def __init__(self, seed: bytes, m: int, cols_per_step: int = 65536):
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+        from . import prg_jax
+
+        self.k = LWE_DIMENSION
+        self.k_pad = self.k
+        self.m = m
+        self.layout = "streaming"
+        self._seed_words = prg_jax.seed_to_words(seed)
+        self._step = cols_per_step
+
+    def matvec(self, codes: np.ndarray) -> np.ndarray:
+        if codes.shape != (self.k,):
+            from ..errors import InvalidDimensionForVector
+
+            raise InvalidDimensionForVector()
+        return self.matvec_batch(codes[None, :])[0]
+
+    def matvec_batch(self, codes: np.ndarray) -> np.ndarray:
+        return np.asarray(self.matvec_batch_async(codes))[:, : self.m].astype(
+            np.uint32
+        )
+
+    def matvec_batch_async(self, codes: np.ndarray):
+        """Dispatches all chunk folds; returns the (Q, m_pad) device array
+        without draining, like DeviceQueryEngine.matvec_batch_async."""
+        jax = _jax()
+        import jax.numpy as jnp
+
+        from . import prg_jax
+
+        if codes.ndim != 2 or codes.shape[1] != self.k:
+            from ..errors import InvalidDimensionForVector
+
+            raise InvalidDimensionForVector()
+        q = codes.shape[0]
+        signs = np.zeros((q, self.k), np.int8)
+        signs[:] = np.where(codes == 2, -1, codes).astype(np.int8)
+        signs_dev = jax.device_put(signs)
+        n_steps = -(-self.m // self._step)
+        out = jnp.zeros((q, n_steps * self._step), jnp.uint32)
+        for c0 in range(0, self.m, self._step):
+            blk0_words, offset = prg_jax.fp_block_start(c0, self.k)
+            out = _streaming_fold(
+                out, self._seed_words, blk0_words, offset, signs_dev,
+                jnp.int32(c0), ncols=self._step, lwe_rows=self.k,
+            )
+        return out
+
+
+_streaming_fold_jit = {}
+
+
+def _streaming_fold(out, sw, blk0_words, offset, signs, c0, *, ncols, lwe_rows):
+    """out[:, c0:c0+ncols] = s . A[:, c0:c0+ncols] over a freshly
+    generated ctr slab (donated accumulator; the slab is a jit temp)."""
+    jax = _jax()
+
+    fn = _streaming_fold_jit.get("fold")
+    if fn is None:
+        import jax.numpy as jnp
+
+        from . import prg_jax
+
+        @partial(jax.jit, donate_argnums=0, static_argnames=("ncols", "lwe_rows"))
+        def fold(out, sw, blk0_words, offset, signs, c0, ncols, lwe_rows):
+            planes = _recode_planes_jnp(
+                prg_jax.rows_from_blocks(sw, blk0_words, offset, ncols, lwe_rows)
+            )  # (4, ncols, k)
+            qn, k = signs.shape
+            s_mat = jnp.broadcast_to(signs[None, :, :], (4, qn, k))
+            dots = jnp.einsum(
+                "bqk,bnk->bqn", s_mat, planes, preferred_element_type=jnp.int32
+            )
+            part = _combine_plane_dots(dots, signs)  # (q, ncols) uint32
+            return jax.lax.dynamic_update_slice(out, part, (jnp.int32(0), c0))
+
+        fn = _streaming_fold_jit["fold"] = fold
+    return fn(out, sw, blk0_words, offset, signs, c0, ncols, lwe_rows)
 
 
 def _combine_plane_dots(dots, signs):

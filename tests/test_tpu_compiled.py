@@ -129,3 +129,32 @@ def test_sharded_ctr_hint_single_device_mesh(rng):
     a = prg.expand_seed(LWE_DIMENSION, m, seed, mode="ctr")
     want = (a.astype(np.uint64) @ mat.astype(np.uint64)).astype(np.uint32)
     assert np.array_equal(hint[:, :c], want)
+
+
+def test_tcp_round_trip_compiled(rng):
+    """The TCP pair served by a compiled device respond path (C13 on
+    real hardware — the CPU-mesh suite runs it through the Pallas
+    interpreter only)."""
+    import asyncio
+
+    from chalametpir_tpu.models.server import Server
+    from chalametpir_tpu.net.client import fetch
+    from chalametpir_tpu.net.server import DEMO_DB, PirTcpServer
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(
+        seed, DEMO_DB, backend="jax", prg_mode="ctr", rng=rng
+    )
+    tcp = PirTcpServer(server, seed, hint, fparams)
+
+    async def run():
+        srv = await asyncio.start_server(tcp.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            return await fetch(
+                "127.0.0.1", port, [b"banana", b"kiwi"], prg_mode="ctr"
+            )
+
+    results = asyncio.run(run())
+    assert results[b"banana"] == b"yellow"
+    assert results[b"kiwi"] == b"brown"
