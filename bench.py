@@ -81,8 +81,10 @@ def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, by
         chunk = min(step, vals_buf.size - i)
         vals_buf[i : i + chunk] = np.frombuffer(rng.bytes(chunk), np.uint8)
     keys_buf = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
-    keys = keys_buf.view("S32").ravel().tolist()
-    vals = vals_buf.view(f"S{value_len}").tolist()
+    # V (void) dtype, not S: numpy S-dtype strips trailing NUL bytes on
+    # tolist(), silently shortening ~1/256 of the keys/values
+    keys = keys_buf.view("V32").ravel().tolist()
+    vals = vals_buf.view(f"V{value_len}").tolist()
     db = dict(zip(keys, vals))
     while len(db) < n:  # vanishingly unlikely 32-byte key collisions
         k = rng.integers(0, 256, size=32, dtype=np.uint8).tobytes()

@@ -226,15 +226,23 @@ class Client:
         with self._prepared_lock:
             entry = self._prepared.pop() if self._prepared else None
             depth = len(self._prepared)
-        if (
-            self._refill_target
-            and depth < self._refill_target
-            and (self._refill_thread is None or not self._refill_thread.is_alive())
-        ):
-            self._refill_thread = threading.Thread(
-                target=self._refill_loop, daemon=True
+            # spawn decision stays under the lock: two concurrent poppers
+            # must not each start a refill thread (duplicate threads both
+            # compute `need` before either lands, overshooting the pool)
+            spawn = (
+                self._refill_target
+                and depth < self._refill_target
+                and (self._refill_thread is None or not self._refill_thread.is_alive())
             )
-            self._refill_thread.start()
+            if spawn:
+                self._refill_thread = threading.Thread(
+                    target=self._refill_loop, daemon=True
+                )
+                # started inside the lock so a concurrent popper can never
+                # observe a created-but-not-started (is_alive()==False)
+                # thread; start() returns immediately and the child blocks
+                # on the lock until this frame releases it
+                self._refill_thread.start()
         return entry
 
     def _refill_loop(self) -> None:
@@ -267,15 +275,7 @@ class Client:
         entry = self._pop_prepared()
         if entry is not None:
             return self._finalize_prepared(key, entry)
-
-        secret_s = self._sample_ternary(LWE_DIMENSION)
-        if self._engine is not None:
-            # dispatch s.A on device, overlap the host-side error sampling
-            # and unblinding matvec with the device dot + readback
-            b_dev = self._engine.matvec_batch_async(secret_s[None, :])
-            return self._finalize_query(key, secret_s, b_dev)
-        b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
-        return self._finalize_query(key, secret_s, b_base)
+        return self.query_inline(key)
 
     def query_inline(self, key: bytes) -> bytes:
         """query() but always computing s.A inline (never from the
@@ -285,6 +285,8 @@ class Client:
             raise PendingQueryExistsForKey()
         secret_s = self._sample_ternary(LWE_DIMENSION)
         if self._engine is not None:
+            # dispatch s.A on device, overlap the host-side error sampling
+            # and unblinding matvec with the device dot + readback
             b_dev = self._engine.matvec_batch_async(secret_s[None, :])
             return self._finalize_query(key, secret_s, b_dev)
         b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
@@ -481,14 +483,21 @@ class Client:
     # pending queries and preprocessed pool intact.
 
     def save(self, path: str) -> None:
-        """Persist the full client state. The archive contains SECRET
-        material — the pending unblinding vectors and any preprocessed
-        (b, c) pairs are LWE secrets; protect the file like a key."""
+        """Persist the client state: setup material + pending queries.
+        The archive contains SECRET material — the pending unblinding
+        vectors are LWE secrets; protect the file like a key.
+
+        The preprocessed query pool is deliberately NOT persisted: pool
+        entries are one-time LWE encryptions whose (s.A + e) half goes on
+        the wire when consumed. Restoring a pool snapshot after any entry
+        was consumed would send the same randomness for two different
+        keys, and the difference of the two query vectors hands the
+        server the filter rows of both — a query-privacy break. Pending
+        vec_c values never leave the client, so restoring those is safe
+        (the worst a stale archive yields is a failed decode)."""
         if self._seed is None:
             raise ValueError("client was constructed without a seed; cannot save")
         pend_keys = list(self._pending.keys())
-        with self._prepared_lock:
-            pool = list(self._prepared)
         arrays = dict(
             hint=self._hint_mat_m,
             fparams=np.frombuffer(self._filter.to_bytes(), np.uint8),
@@ -501,10 +510,10 @@ class Client:
             arrays["pending_c"] = np.stack(
                 [self._pending[k].vec_c for k in pend_keys]
             )
-        if pool:
-            arrays["pool_b"] = np.stack([e[0] for e in pool])
-            arrays["pool_c"] = np.stack([e[1] for e in pool])
-        np.savez(path, **arrays)
+        # write through a file handle: np.savez(str) appends ".npz" to
+        # suffix-less paths, which load() would then fail to find
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
 
     @classmethod
     def load(cls, path: str, device: bool | str = "auto") -> "Client":
@@ -526,13 +535,6 @@ class Client:
                 key = blob[off : off + int(ln)]
                 off += int(ln)
                 client._pending[key] = Query(vec_c=archive["pending_c"][i].copy())
-            if "pool_b" in archive:
-                entries = [
-                    (archive["pool_b"][i].copy(), archive["pool_c"][i].copy())
-                    for i in range(archive["pool_b"].shape[0])
-                ]
-                with client._prepared_lock:
-                    client._prepared.extend(entries)
         return client
 
     # -- benchmarking hooks (reference: client.rs:60-71) -----------------------

@@ -504,17 +504,20 @@ class Server:
             num_response_cols=self._num_response_cols,
             mat_elem_bit_len=self.mat_elem_bit_len,
         )
+        # write through a file handle: np.savez(str) appends ".npz" to
+        # suffix-less paths, which load() would then fail to find
         if self._backend == "numpy":
-            np.savez(path, meta=np.array([repr(meta)]), mat_d=self._planes)
+            arrays = dict(mat_d=self._planes)
         elif self._layout == "packed":
             db = self._planes
             arrays = dict(lo=np.asarray(db.lo), tile_k=np.array([db.tile_k]))
             if db.hi is not None:
                 arrays["hi"] = np.asarray(db.hi)
-            np.savez(path, meta=np.array([repr(meta)]), **arrays)
         else:
             d0, d1 = self._planes
-            np.savez(path, meta=np.array([repr(meta)]), d0=np.asarray(d0), d1=np.asarray(d1))
+            arrays = dict(d0=np.asarray(d0), d1=np.asarray(d1))
+        with open(path, "wb") as f:
+            np.savez(f, meta=np.array([repr(meta)]), **arrays)
 
     @classmethod
     def load(cls, path: str) -> "Server":

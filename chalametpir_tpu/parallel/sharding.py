@@ -202,6 +202,26 @@ def sharded_hint_packed_fn(mesh: Mesh, db):
     return _sharded_packed_fn(mesh, db, (P(None, "model"),), body)
 
 
+def _sharded_chunk_rows(m_local: int, tile_k: int) -> int:
+    """Rows per hint-fold chunk on one shard: a multiple of tile_k that
+    divides m_local exactly (the fold slices fixed windows at j*cc — an
+    overhang would re-read rows, and a non-tile-multiple cc would
+    silently drop cc % tile_k rows from the Pallas grid), targeting
+    ~<= 2^17 rows. m_local = t * tile_k by construction
+    (build_sharded_pallas_db aligns m_pad to model * tile_k); the largest
+    divisor of t within the target is chosen, and q = 1 always works."""
+    if m_local % tile_k != 0:
+        raise AssertionError(
+            f"sharded planes misaligned: m_local={m_local} tile_k={tile_k}"
+        )
+    t = m_local // tile_k
+    max_tiles = max(1, (1 << 17) // tile_k)
+    for cand in range(min(t, max_tiles), 0, -1):
+        if t % cand == 0:
+            return cand * tile_k
+    return tile_k
+
+
 def sharded_hint_ctr_packed(mesh: Mesh, db, seed: bytes) -> np.ndarray:
     """Full (LWE_DIMENSION, c) uint32 hint over the mesh, ctr PRG mode.
 
@@ -223,11 +243,13 @@ def sharded_hint_ctr_packed(mesh: Mesh, db, seed: bytes) -> np.ndarray:
     model = mesh.shape["model"]
     m_pad = db.lo.shape[0]
     m_local = m_pad // model
-    # chunk size: whole tiles, <= 2^17 rows, and dividing m_local (m_pad is
-    # model*tile_k-aligned, so m_local is a multiple of tile_k)
-    cc = m_local
-    while cc > (1 << 17) and cc % 2 == 0:
-        cc //= 2
+    # chunk size: whole tiles, ~<= 2^17 rows, and dividing m_local EXACTLY
+    # (the fold slices fixed cc-row windows at j*cc — an overhang would
+    # re-read rows, a non-tile-multiple cc would silently drop cc % tile_k
+    # rows from the Pallas grid). m_pad is model*tile_k-aligned
+    # (build_sharded_pallas_db), so m_local = t * tile_k; pick the largest
+    # divisor of t whose chunk stays within the target (q=1 always works).
+    cc = _sharded_chunk_rows(m_local, db.tile_k)
     n_chunks = m_local // cc
     interp = jax.default_backend() == "cpu"
 

@@ -81,10 +81,11 @@ def test_client_save_load_round_trip(rng, tmp_path):
     # queries issued before the restart
     for k, q in pending_q.items():
         assert restored.process_response(k, server.respond(q)) == db[k]
-    # the preprocessed pool survives: one entry was consumed per query
-    # above plus whatever overflow retries burned; a fresh query after
-    # restart still works (from pool or inline)
-    assert restored.prepared_query_count <= 3
+    # the preprocessed pool is deliberately NOT persisted (pool entries
+    # are one-time LWE encryptions; restoring a snapshot after any was
+    # consumed would reuse query randomness on the wire and break query
+    # privacy) — a fresh query after restart runs inline
+    assert restored.prepared_query_count == 0
     k3 = keys[2]
     q3 = _query(restored, k3)
     assert restored.process_response(k3, server.respond(q3)) == db[k3]
@@ -104,3 +105,24 @@ def test_client_save_load_preserves_duplicate_guard(rng, tmp_path):
 
     with pytest.raises(PendingQueryExistsForKey):
         restored.query(key)
+
+
+def test_client_save_load_suffixless_path(rng, tmp_path):
+    """np.savez(str) appends '.npz' to suffix-less paths; save/load must
+    agree on the literal path the caller gave."""
+    db = generate_random_kv_database(200, rng=rng, value_byte_len=(4, 16))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, arity=3, rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    key = next(iter(db))
+    q = _query(client, key)
+    path = str(tmp_path / "clientstate")  # no .npz suffix
+    client.save(path)
+    assert (tmp_path / "clientstate").exists()
+    restored = Client.load(path, device=False)
+    assert restored.process_response(key, server.respond(q)) == db[key]
+
+    server.save(str(tmp_path / "serverstate"))  # same contract server-side
+    assert (tmp_path / "serverstate").exists()
+    s2 = Server.load(str(tmp_path / "serverstate"))
+    assert s2.respond(q) == server.respond(q)

@@ -170,3 +170,23 @@ def test_server_api_sharded_ctr_round_trip(mesh, rng):
             except ArithmeticOverflowAddingQueryIndicator:
                 pass
         assert client.process_response(key, server.respond(q)) == db[key]
+
+
+def test_sharded_chunk_rows_always_tile_aligned_and_exact():
+    """Regression: the old halving chunk picker could return a chunk that
+    was not a multiple of tile_k (e.g. m_local = 2048*130 -> 66560,
+    66560 % 2048 = 1024), and the Pallas fold grid floor-divides —
+    silently dropping rows from the hint. The picker must return a
+    tile-multiple that divides m_local exactly."""
+    from chalametpir_tpu.parallel.sharding import _sharded_chunk_rows
+
+    tile_k = 2048
+    for t in list(range(1, 400)) + [1009, 1024, 130 * 4, 197 * 3]:
+        m_local = t * tile_k
+        cc = _sharded_chunk_rows(m_local, tile_k)
+        assert cc % tile_k == 0
+        assert m_local % cc == 0
+        assert cc <= max(1 << 17, tile_k)
+    # the concrete old-failure geometry
+    assert _sharded_chunk_rows(266240, 2048) % 2048 == 0
+    assert 266240 % _sharded_chunk_rows(266240, 2048) == 0
