@@ -158,3 +158,22 @@ def test_tcp_round_trip_compiled(rng):
     results = asyncio.run(run())
     assert results[b"banana"] == b"yellow"
     assert results[b"kiwi"] == b"brown"
+
+
+def test_streaming_engine_compiled_exact(rng):
+    """Compiled streaming client engine (per-batch ctr slab gen + fold)
+    vs the host matvec."""
+    from chalametpir_tpu.core import prg
+    from chalametpir_tpu.ops.client_device import DeviceQueryEngine
+    from chalametpir_tpu.params import LWE_DIMENSION
+
+    m = 700
+    seed = rng.bytes(32)
+    a = prg.expand_seed(LWE_DIMENSION, m, seed, mode="ctr")
+    eng = DeviceQueryEngine.streaming_from_seed_ctr(seed, m, cols_per_step=256)
+    codes = rng.integers(0, 3, size=(2, LWE_DIMENSION)).astype(np.int8)
+    got = eng.matvec_batch(codes)
+    for i in range(2):
+        pos = a[codes[i] == 1].sum(axis=0, dtype=np.uint64)
+        neg = a[codes[i] == 2].sum(axis=0, dtype=np.uint64)
+        assert np.array_equal(got[i], (pos - neg).astype(np.uint32))
