@@ -292,13 +292,11 @@ class Client:
         b_base = self._ternary_matvec(secret_s, self._pub_mat_a)
         return self._finalize_query(key, secret_s, b_base)
 
-    def _finalize_prepared(self, key: bytes, entry) -> bytes:
-        """Online phase over a preprocessed (b, c) pair: add the query
-        indicator at the key's filter rows (reference: client.rs:115-134)
-        and record the pending unblinding vector. The entry is consumed
-        either way; on overflow the caller retries and a fresh entry (or
-        the inline path) supplies fresh randomness."""
-        query_b, vec_c = entry
+    def _add_query_indicator(self, query_b: np.ndarray, key: bytes) -> None:
+        """Add Δ = ⌊2^32/2^b⌋ at the key's filter rows, in place
+        (reference: client.rs:109-134). Raises the overflow error; every
+        caller discards query_b and retries with fresh randomness, so
+        partial mutation is unobservable."""
         digest = hashing.hash_of_key(key)
         fused = int(hashing.mix256(digest, self._filter.seed))
         rows = hash_batch(
@@ -308,14 +306,20 @@ class Client:
             self._filter.segment_count_length,
         )
         delta = query_indicator(self._filter.mat_elem_bit_len)
-        totals = []
         for r in rows:
-            total = int(query_b[int(r)]) + delta
+            r = int(r)
+            total = int(query_b[r]) + delta
             if total > 0xFFFFFFFF:
                 raise ArithmeticOverflowAddingQueryIndicator()
-            totals.append((int(r), total))
-        for r, total in totals:
             query_b[r] = total
+
+    def _finalize_prepared(self, key: bytes, entry) -> bytes:
+        """Online phase over a preprocessed (b, c) pair: add the query
+        indicator and record the pending unblinding vector. The entry is
+        consumed either way; on overflow the caller retries and a fresh
+        entry (or the inline path) supplies fresh randomness."""
+        query_b, vec_c = entry
+        self._add_query_indicator(query_b, key)
         self._pending[key] = Query(vec_c=vec_c)
         return matrix_io.matrix_to_bytes(query_b[None, :])
 
@@ -384,26 +388,11 @@ class Client:
         error_e = self._sample_ternary_u32(m)
         vec_c = self._ternary_matvec(secret_s, self._hint_mat_m)
 
-        digest = hashing.hash_of_key(key)
-        fused = int(hashing.mix256(digest, self._filter.seed))
-
         b_host = np.asarray(b_base)
         if b_host.ndim == 2:  # async device result: (1, m_pad)
             b_host = b_host[0, :m]
         query_b = b_host.astype(np.uint32) + error_e
-        rows = hash_batch(
-            self._filter.arity,
-            np.uint64(fused),
-            self._filter.segment_length,
-            self._filter.segment_count_length,
-        )
-        delta = query_indicator(self._filter.mat_elem_bit_len)
-        for r in rows:
-            r = int(r)
-            total = int(query_b[r]) + delta
-            if total > 0xFFFFFFFF:
-                raise ArithmeticOverflowAddingQueryIndicator()
-            query_b[r] = total
+        self._add_query_indicator(query_b, key)
 
         self._pending[key] = Query(vec_c=vec_c)
         return matrix_io.matrix_to_bytes(query_b[None, :])

@@ -597,16 +597,19 @@ void encode_assemble_rows16_ordered(
 
 }  // extern "C"
 
-// uint16-input variant of build_packed_planes (D is stored as uint16).
+// Shared core of build_packed_planes{,16}: biased low-byte plane plus the
+// block-interleaved bit-packed high plane, one streaming read of D.
 // lo_stride lets the caller request a TIGHT lo plane (stride == c) so the
 // zero column padding never crosses the host link; the device pads.
 // hi stays c_pad-based: its block-interleave layout is defined over c_pad.
-void build_packed_planes16(const uint16_t* mat, int64_t m, int64_t c,
-                           int64_t lo_stride, int64_t c_pad, int8_t* lo,
-                           uint8_t* hi, int32_t pack, int32_t bits) {
+extern "C++" {
+template <typename T>
+static void pack_planes_impl(const T* mat, int64_t m, int64_t c,
+                             int64_t lo_stride, int64_t c_pad, int8_t* lo,
+                             uint8_t* hi, int32_t pack, int32_t bits) {
   const int64_t pc = (pack > 1) ? c_pad / pack : c_pad;
   for (int64_t r = 0; r < m; ++r) {
-    const uint16_t* src = mat + r * c;
+    const T* src = mat + r * c;
     int8_t* lo_row = lo + r * lo_stride;
     for (int64_t j = 0; j < c; ++j)
       lo_row[j] = static_cast<int8_t>(static_cast<uint8_t>(src[j]) - 128u);
@@ -620,13 +623,21 @@ void build_packed_planes16(const uint16_t* mat, int64_t m, int64_t c,
       // field f of word t <- logical column f*pc + t
       for (int64_t f = 0; f * pc < c; ++f) {
         const int64_t t_end = std::min(pc, c - f * pc);
-        const uint16_t* col = src + f * pc;
+        const T* col = src + f * pc;
         const int shift = bits * static_cast<int>(f);
         for (int64_t t = 0; t < t_end; ++t)
           hi_row[t] |= static_cast<uint8_t>(col[t] >> 8) << shift;
       }
     }
   }
+}
+}  // extern "C++"
+
+// uint16-input variant of build_packed_planes (D is stored as uint16).
+void build_packed_planes16(const uint16_t* mat, int64_t m, int64_t c,
+                           int64_t lo_stride, int64_t c_pad, int8_t* lo,
+                           uint8_t* hi, int32_t pack, int32_t bits) {
+  pack_planes_impl(mat, m, c, lo_stride, c_pad, lo, hi, pack, bits);
 }
 
 // ---------------------------------------------------------------------------
@@ -831,29 +842,7 @@ void build_packed_planes(const uint32_t* mat, int64_t m, int64_t c,
                          int64_t m_pad, int64_t c_pad, int8_t* lo,
                          uint8_t* hi, int32_t pack, int32_t bits) {
   (void)m_pad;
-  const int64_t pc = (pack > 1) ? c_pad / pack : c_pad;
-  for (int64_t r = 0; r < m; ++r) {
-    const uint32_t* src = mat + r * c;
-    int8_t* lo_row = lo + r * c_pad;
-    for (int64_t j = 0; j < c; ++j)
-      lo_row[j] = static_cast<int8_t>(static_cast<uint8_t>(src[j]) - 128u);
-    if (hi == nullptr) continue;
-    uint8_t* hi_row = hi + r * pc;
-    if (pack <= 1) {
-      for (int64_t j = 0; j < c; ++j)
-        hi_row[j] = static_cast<uint8_t>(src[j] >> 8);
-    } else {
-      // field-major (no per-element division, vectorizes):
-      // field f of word t <- logical column f*pc + t
-      for (int64_t f = 0; f * pc < c; ++f) {
-        const int64_t t_end = std::min(pc, c - f * pc);
-        const uint32_t* col = src + f * pc;
-        const int shift = bits * static_cast<int>(f);
-        for (int64_t t = 0; t < t_end; ++t)
-          hi_row[t] |= static_cast<uint8_t>(col[t] >> 8) << shift;
-      }
-    }
-  }
+  pack_planes_impl(mat, m, c, /*lo_stride=*/c_pad, c_pad, lo, hi, pack, bits);
 }
 
 // Pre-populated anonymous mappings for GB-scale buffers. On this class of
