@@ -36,7 +36,7 @@ if not _TPU_MODE:
 import numpy as np
 import pytest
 
-_SEED = int(os.environ.get("PIR_TEST_SEED", "0") or 0) or secrets.randbits(48)
+_SEED = int(os.environ.get("PIR_TEST_SEED", "0") or "0", 0) or secrets.randbits(48)
 
 
 def pytest_report_header(config):

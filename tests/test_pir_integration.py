@@ -233,3 +233,72 @@ def test_response_decode_native_numpy_parity(rng):
         assert kv_native == kv_numpy
         assert kv_native[32:] == db[key]
         assert client.process_response(key, matrix_io.matrix_to_bytes(resp)) == db[key]
+
+
+def test_malformed_wire_inputs_raise_protocol_errors(rng):
+    """Adversarial bytes on every wire surface must raise a
+    ChalametPIRError (or ValueError at the seed guard) — never crash,
+    hang, or return data. Mirrors the reference's deserializer guards
+    (matrix.rs:978-999, binary_fuse_filter.rs:488-513)."""
+    from chalametpir_tpu import Client, Server
+    from chalametpir_tpu.errors import ChalametPIRError
+    from chalametpir_tpu.utils import generate_random_kv_database
+
+    db = generate_random_kv_database(300, rng=rng, value_byte_len=(4, 64))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, arity=3, rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    key = next(iter(db))
+    while True:
+        try:
+            query = client.query(key)
+            break
+        except ArithmeticOverflowAddingQueryIndicator:
+            continue
+    response = server.respond(query)
+
+    def corruptions(blob: bytes):
+        yield b""
+        yield blob[: len(blob) // 2]          # truncated
+        yield blob + b"\x00" * 8              # trailing garbage
+        big = bytearray(blob)
+        big[0:8] = (0xFFFFFFFF).to_bytes(4, "little") * 2  # huge dims
+        yield bytes(big)
+        flip = bytearray(blob)
+        flip[rng.integers(0, len(blob))] ^= 0xFF
+        yield bytes(flip)
+
+    # server: malformed queries
+    for bad in corruptions(query):
+        try:
+            server.respond(bad)
+        except ChalametPIRError:
+            pass  # expected protocol error
+
+    # client: malformed responses — pending state must survive a
+    # malformed response (reference early-return, client.rs:210-217)
+    for bad in corruptions(response):
+        if bad == response:
+            continue
+        try:
+            client.process_response(key, bad)
+            break  # a lucky bit-flip can still decode; state is consumed
+        except ChalametPIRError:
+            pass
+    else:
+        # all corruptions rejected: the pending query must still decrypt
+        assert client.process_response(key, response) == db[key]
+
+    # client setup: malformed hint / filter params / seed
+    import pytest as _pytest
+
+    # structural corruptions only: a bit-flip inside the hint body is
+    # valid wire data (wrong hints fail later at decryption, not parse)
+    for bad_hint in list(corruptions(hint))[:4]:
+        with _pytest.raises((ChalametPIRError, ValueError)):
+            Client.setup(seed, bad_hint, fparams, device=False)
+    for bad_fp in (b"", fparams[:30], fparams + b"\x00" * 4):
+        with _pytest.raises((ChalametPIRError, ValueError)):
+            Client.setup(seed, hint, bad_fp, device=False)
+    with _pytest.raises((ChalametPIRError, ValueError)):
+        Client.setup(b"short", hint, fparams, device=False)
