@@ -147,6 +147,34 @@ class PirTcpServer:
             await srv.serve_forever()
 
 
+def save_serving_state(prefix: str, server: Server, seed: bytes,
+                       hint: bytes, filter_params: bytes) -> None:
+    """Persist everything a restarted server process needs to resume
+    serving without re-running setup: the device planes (Server.save)
+    plus the per-connection setup blobs (seed/hint/filter params, which
+    Server.save deliberately omits — they normally left at setup time)."""
+    server.save(prefix + ".state")
+    with open(prefix + ".setup", "wb") as f:
+        np.savez(
+            f,
+            seed=np.frombuffer(seed, np.uint8),
+            hint=np.frombuffer(hint, np.uint8),
+            fparams=np.frombuffer(filter_params, np.uint8),
+        )
+
+
+def load_serving_state(prefix: str) -> tuple[Server, bytes, bytes, bytes]:
+    """Inverse of save_serving_state: (server, seed, hint, filter_params)."""
+    server = Server.load(prefix + ".state")
+    with np.load(prefix + ".setup") as a:
+        return (
+            server,
+            a["seed"].tobytes(),
+            a["hint"].tobytes(),
+            a["fparams"].tobytes(),
+        )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
@@ -157,20 +185,32 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto", choices=("auto", "jax", "numpy"))
     ap.add_argument("--prg-mode", default="stream", choices=("stream", "ctr"),
                     help="A derivation; clients must match (stream = reference interop)")
+    ap.add_argument("--save-state", metavar="PREFIX",
+                    help="after setup, persist serving state to PREFIX.{state,setup}")
+    ap.add_argument("--load-state", metavar="PREFIX",
+                    help="skip setup and resume serving from a --save-state archive")
     args = ap.parse_args(argv)
 
-    if args.random_db:
-        from ..utils import generate_random_kv_database
-
-        db = generate_random_kv_database(args.random_db)
+    if args.load_state:
+        server, seed, hint, filter_params = load_serving_state(args.load_state)
+        print(f"Resumed from {args.load_state}.state, hint {len(hint)} B",
+              file=sys.stderr)
     else:
-        db = DEMO_DB
+        if args.random_db:
+            from ..utils import generate_random_kv_database
 
-    seed = os.urandom(SEED_BYTE_LEN)
-    server, hint, filter_params = Server.setup(
-        seed, db, arity=args.arity, backend=args.backend, prg_mode=args.prg_mode
-    )
-    print(f"Setup done: {len(db)} entries, hint {len(hint)} B", file=sys.stderr)
+            db = generate_random_kv_database(args.random_db)
+        else:
+            db = DEMO_DB
+
+        seed = os.urandom(SEED_BYTE_LEN)
+        server, hint, filter_params = Server.setup(
+            seed, db, arity=args.arity, backend=args.backend, prg_mode=args.prg_mode
+        )
+        print(f"Setup done: {len(db)} entries, hint {len(hint)} B", file=sys.stderr)
+        if args.save_state:
+            save_serving_state(args.save_state, server, seed, hint, filter_params)
+            print(f"State saved to {args.save_state}.{{state,setup}}", file=sys.stderr)
     asyncio.run(PirTcpServer(server, seed, hint, filter_params).serve(args.host, args.port))
 
 

@@ -109,3 +109,26 @@ def test_batch_dispatcher_rejects_malformed():
             await dispatcher.submit(bad)
 
     asyncio.run(run())
+
+
+def test_serving_state_save_load_round_trip(rng, tmp_path):
+    """A restarted server process (--load-state) serves clients without
+    re-running setup, answering queries identically."""
+    from chalametpir_tpu.net.server import load_serving_state, save_serving_state
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    prefix = str(tmp_path / "serving")
+    save_serving_state(prefix, server, seed, hint, fparams)
+    server2, seed2, hint2, fparams2 = load_serving_state(prefix)
+    assert (seed2, hint2, fparams2) == (seed, hint, fparams)
+
+    tcp = PirTcpServer(server2, seed2, hint2, fparams2)
+
+    async def run():
+        srv = await asyncio.start_server(tcp.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            return await fetch("127.0.0.1", port, [b"banana"])
+
+    assert asyncio.run(run())[b"banana"] == b"yellow"
