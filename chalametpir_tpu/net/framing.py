@@ -20,11 +20,17 @@ _LEN = struct.Struct("<I")
 MAX_FRAME_LEN = 1 << 31  # sanity bound
 
 
-async def read_frame(reader: asyncio.StreamReader) -> bytes:
+async def read_frame(
+    reader: asyncio.StreamReader, max_len: int = MAX_FRAME_LEN
+) -> bytes:
+    """Read one length-prefixed frame. `max_len` bounds the advertised
+    length BEFORE any payload is buffered — a server reading queries
+    passes its actual query size so a hostile peer cannot make it
+    allocate gigabytes with a 4-byte header."""
     header = await reader.readexactly(_LEN.size)
     (length,) = _LEN.unpack(header)
-    if length > MAX_FRAME_LEN:
-        raise ValueError(f"frame of {length} bytes exceeds limit")
+    if length > max_len:
+        raise ValueError(f"frame of {length} bytes exceeds limit {max_len}")
     return await reader.readexactly(length)
 
 

@@ -112,6 +112,10 @@ class PirTcpServer:
         self._hint = hint
         self._filter_params = filter_params
         self._dispatcher = BatchDispatcher(server)
+        # a valid query is exactly (1, m) u32 + the 8-byte header; cap the
+        # frame reader there so a hostile 4-byte length prefix cannot make
+        # this process buffer gigabytes
+        self._max_query_frame = server.num_query_cols * 4 + 64
 
     async def handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
@@ -123,8 +127,11 @@ class PirTcpServer:
             await writer.drain()
             while True:
                 try:
-                    query = await read_frame(reader)
+                    query = await read_frame(reader, self._max_query_frame)
                 except (asyncio.IncompleteReadError, ConnectionResetError):
+                    break
+                except ValueError as exc:  # oversized frame: drop the peer
+                    print(f"Oversized frame from {peer}: {exc}", file=sys.stderr)
                     break
                 try:
                     response = await self._dispatcher.submit(query)

@@ -132,3 +132,45 @@ def test_serving_state_save_load_round_trip(rng, tmp_path):
             return await fetch("127.0.0.1", port, [b"banana"])
 
     assert asyncio.run(run())[b"banana"] == b"yellow"
+
+
+def test_server_survives_hostile_frames(rng):
+    """A peer advertising a gigabyte frame (or sending garbage) must get
+    dropped without buffering the payload or disturbing other clients."""
+    import struct
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    tcp = PirTcpServer(server, seed, hint, fparams)
+
+    async def run():
+        srv = await asyncio.start_server(tcp.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            # hostile peer: huge advertised length
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            await r.readexactly(32)  # seed
+            from chalametpir_tpu.net.framing import read_frame
+
+            await read_frame(r)  # hint
+            await read_frame(r)  # filter params
+            w.write(struct.pack("<I", 1 << 30) + b"\x00" * 64)
+            await w.drain()
+            assert await r.read(1) == b""  # server closed on us
+            w.close()
+
+            # garbage query bytes of a plausible size: protocol error,
+            # connection dropped, server still alive
+            r2, w2 = await asyncio.open_connection("127.0.0.1", port)
+            await r2.readexactly(32)
+            await read_frame(r2)
+            await read_frame(r2)
+            w2.write(struct.pack("<I", 40) + b"\xff" * 40)
+            await w2.drain()
+            assert await r2.read(1) == b""
+            w2.close()
+
+            # a well-behaved client is still served
+            return await fetch("127.0.0.1", port, [b"apple"])
+
+    assert asyncio.run(run())[b"apple"] == b"red"
