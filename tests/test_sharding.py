@@ -190,3 +190,33 @@ def test_sharded_chunk_rows_always_tile_aligned_and_exact():
     # the concrete old-failure geometry
     assert _sharded_chunk_rows(266240, 2048) % 2048 == 0
     assert 266240 % _sharded_chunk_rows(266240, 2048) == 0
+
+
+def test_sharded_ctr_hint_multi_chunk_matches_single_device(mesh, rng, monkeypatch):
+    """e2e regression for the chunk-picker bug: force several fold chunks
+    per shard and require the mesh hint to be byte-identical to the
+    single-device ctr derivation (a dropped or re-read row changes it)."""
+    from chalametpir_tpu import Server
+    from chalametpir_tpu.core import matrix_io
+    from chalametpir_tpu.parallel import sharding as sh
+    from chalametpir_tpu.utils import generate_random_kv_database
+
+    # every shard folds in single-tile chunks -> m_local/tile_k chunks
+    monkeypatch.setattr(sh, "_sharded_chunk_rows", lambda m_local, tile_k: tile_k)
+
+    db = generate_random_kv_database(7000, rng=rng, value_byte_len=(1, 48))
+    seed = rng.bytes(32)
+    # identical generators: both setups must draw the same filter seed
+    fseed = int(rng.integers(0, 2**63))
+    _, hint_mesh, fp_mesh = Server.setup(
+        seed, db, arity=3, mesh=mesh, prg_mode="ctr",
+        rng=np.random.default_rng(fseed),
+    )
+    _, hint_one, fp_one = Server.setup(
+        seed, db, arity=3, backend="jax", prg_mode="ctr",
+        rng=np.random.default_rng(fseed),
+    )
+    assert fp_mesh == fp_one
+    assert np.array_equal(
+        matrix_io.matrix_from_bytes(hint_mesh), matrix_io.matrix_from_bytes(hint_one)
+    )
