@@ -140,7 +140,8 @@ def test_server_api_sharded_scaled_2pow23_geometry(mesh, rng):
     assert np.array_equal(got, want)
 
 
-def test_server_api_sharded_ctr_round_trip(mesh, rng):
+@pytest.mark.parametrize("arity", [3, 4])
+def test_server_api_sharded_ctr_round_trip(mesh, rng, arity):
     """ctr PRG mode under a mesh: every shard regenerates A on device; the
     hint must be byte-identical to the single-device ctr derivation."""
     from chalametpir_tpu import Client, Server
@@ -150,7 +151,7 @@ def test_server_api_sharded_ctr_round_trip(mesh, rng):
     db = generate_random_kv_database(400, rng=rng, value_byte_len=(1, 64))
     seed = rng.bytes(32)
     server, hint, fparams = Server.setup(
-        seed, db, arity=3, mesh=mesh, prg_mode="ctr", rng=rng
+        seed, db, arity=arity, mesh=mesh, prg_mode="ctr", rng=rng
     )
 
     from chalametpir_tpu.core import matrix_io
