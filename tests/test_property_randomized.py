@@ -99,3 +99,37 @@ def test_full_pir_round_trip_random_geometry(arity, rng):
                 except ArithmeticOverflowAddingQueryIndicator:
                     continue
             assert client.process_response(key, server.respond(q)) == db[key]
+
+
+def test_client_server_persistence_random_geometry(rng, tmp_path):
+    """Randomized persistence property: at random DB geometries, both
+    roles survive a save/load with pending queries in flight and answer
+    identically afterward."""
+    from chalametpir_tpu import Client, Server
+    from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+
+    for it in range(max(1, ITERS // 8)):
+        n = int(rng.integers(1 << 8, 1 << 11))
+        vmax = int(rng.integers(8, 256))
+        db = generate_random_kv_database(n, rng=rng, value_byte_len=(1, vmax))
+        seed = rng.bytes(32)
+        arity = int(rng.choice([3, 4]))
+        server, hint, fparams = Server.setup(seed, db, arity=arity, rng=rng)
+        client = Client.setup(seed, hint, fparams, device=False)
+        keys = [list(db.keys())[int(i)] for i in rng.integers(0, n, size=3)]
+        queries = {}
+        for key in dict.fromkeys(keys):
+            while True:
+                try:
+                    queries[key] = client.query(key)
+                    break
+                except ArithmeticOverflowAddingQueryIndicator:
+                    continue
+        spath = str(tmp_path / f"s{it}")
+        cpath = str(tmp_path / f"c{it}")
+        server.save(spath)
+        client.save(cpath)
+        server2 = Server.load(spath)
+        client2 = Client.load(cpath, device=False)
+        for key, q in queries.items():
+            assert client2.process_response(key, server2.respond(q)) == db[key]
