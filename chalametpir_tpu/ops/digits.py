@@ -1,5 +1,8 @@
 """Balanced base-256 digit decomposition — the bridge from Z_{2^32}
-arithmetic to the TPU's int8 MXU.
+arithmetic to the TPU's int8 MXU. Fills the role of the reference's
+wrapping u32 arithmetic core (reference:
+chalametpir_common/src/matrix.rs:1031-1059 matmul, matrix.rs:328-485
+respond matvec) with a representation the MXU executes natively.
 
 The TPU has no 32-bit integer systolic path, but its MXU multiplies int8
 at ~2x bf16 rate with exact int32 accumulation, and XLA integer overflow

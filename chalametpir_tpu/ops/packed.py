@@ -1,4 +1,8 @@
-"""Bit-packed DB layouts for the bandwidth-bound respond scan.
+"""Bit-packed DB layouts for the bandwidth-bound respond scan. Fills
+the role of the reference's row_wise_compress serving layout (reference:
+chalametpir_common/src/matrix.rs:98-205, consumed by the respond loop
+matrix.rs:328-485) with planes shaped for MXU operands instead of CPU
+word-unpacking.
 
 The two-int8-digit-plane layout (ops/digits.py) costs 2 bytes per DB
 element. But an element is only b <= 14 bits, and for the large-DB
