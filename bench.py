@@ -396,6 +396,23 @@ def main() -> None:
     rng = np.random.default_rng(0xBEEF)
     log(f"backend={jax.default_backend()} headline=2^{LOG_N} arity{ARITY} {VALUE_LEN}B budget={BUDGET_S}s")
 
+    # first line out BEFORE any device call: device acquisition through the
+    # tunnel has been observed to stall ~10 min when a prior process just
+    # released it; if a harness timeout then kills this run, the artifact
+    # still carries one parseable record (status explains the nulls)
+    print(
+        json.dumps(
+            {
+                "metric": "server_respond_db_scan_GBps",
+                "value": None,
+                "unit": "GB/s",
+                "vs_baseline": None,
+                "status": "starting (device init pending); later lines supersede",
+            }
+        ),
+        flush=True,
+    )
+
     # measure the host->device link once: server_setup here is dominated by
     # shipping the packed DB through this environment's tunnel (~0.03 GB/s;
     # real TPU DMA would make the same upload ~0.1 s), so the artifact
