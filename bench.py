@@ -394,12 +394,12 @@ def main() -> None:
     import jax
 
     rng = np.random.default_rng(0xBEEF)
-    log(f"backend={jax.default_backend()} headline=2^{LOG_N} arity{ARITY} {VALUE_LEN}B budget={BUDGET_S}s")
 
-    # first line out BEFORE any device call: device acquisition through the
-    # tunnel has been observed to stall ~10 min when a prior process just
-    # released it; if a harness timeout then kills this run, the artifact
-    # still carries one parseable record (status explains the nulls)
+    # first line out BEFORE any device call — and jax.default_backend()
+    # below IS one (it initializes the XLA backend): device acquisition
+    # through the tunnel has been observed to stall ~10 min when a prior
+    # process just released it; if a harness timeout then kills this run,
+    # the artifact still carries one parseable record
     print(
         json.dumps(
             {
@@ -412,6 +412,7 @@ def main() -> None:
         ),
         flush=True,
     )
+    log(f"backend={jax.default_backend()} headline=2^{LOG_N} arity{ARITY} {VALUE_LEN}B budget={BUDGET_S}s")
 
     # measure the host->device link once: server_setup here is dominated by
     # shipping the packed DB through this environment's tunnel (~0.03 GB/s;

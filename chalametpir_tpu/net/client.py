@@ -22,11 +22,16 @@ async def fetch(
     print(f"Connected to PIR server @ {host}:{port}", file=sys.stderr)
 
     seed = await reader.readexactly(SEED_BYTE_LEN)
-    hint = await read_frame(reader)
-    filter_params = await read_frame(reader)
+    # bound what a hostile/buggy server can make us buffer: the hint is
+    # 1774 x cols x 4 B (single-digit MB for any sane value length; 1 GiB
+    # is far beyond every supported config), the filter params are 68 B
+    hint = await read_frame(reader, max_len=1 << 30)
+    filter_params = await read_frame(reader, max_len=4096)
     print(f"Received setup data ({len(hint)} B hint)", file=sys.stderr)
 
     client = Client.setup(seed, hint, filter_params, prg_mode=prg_mode, device=device)
+    # a valid response is exactly (1, cols) u32 + the 8-byte header
+    max_response_frame = client._hint_mat_m.shape[1] * 4 + 64
     results: dict[bytes, bytes | None] = {}
     for key in keys:
         while True:
@@ -37,7 +42,7 @@ async def fetch(
                 continue
         write_frame(writer, query)
         await writer.drain()
-        response = await read_frame(reader)
+        response = await read_frame(reader, max_response_frame)
         try:
             results[key] = client.process_response(key, response)
         except Exception as exc:  # noqa: BLE001 - report per-key failure

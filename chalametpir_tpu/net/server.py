@@ -198,6 +198,10 @@ def main(argv=None):
                     help="skip setup and resume serving from a --save-state archive")
     args = ap.parse_args(argv)
 
+    if args.load_state and (args.random_db or args.save_state):
+        ap.error("--load-state resumes an archived server; it cannot be "
+                 "combined with --random-db or --save-state (and it ignores "
+                 "--arity/--backend/--prg-mode, which are baked into the archive)")
     if args.load_state:
         server, seed, hint, filter_params = load_serving_state(args.load_state)
         print(f"Resumed from {args.load_state}.state, hint {len(hint)} B",

@@ -268,12 +268,13 @@ def test_malformed_wire_inputs_raise_protocol_errors(rng):
         flip[rng.integers(0, len(blob))] ^= 0xFF
         yield bytes(flip)
 
-    # server: malformed queries
-    for bad in corruptions(query):
-        try:
+    # server: structurally malformed queries MUST raise (a bit-flipped
+    # query still parses — the server legitimately answers it)
+    import pytest as _pytest
+
+    for bad in list(corruptions(query))[:4]:
+        with _pytest.raises(ChalametPIRError):
             server.respond(bad)
-        except ChalametPIRError:
-            pass  # expected protocol error
 
     # client: malformed responses. Structurally invalid bytes must leave
     # the pending query intact (reference early-return, client.rs:210-217);
@@ -294,8 +295,6 @@ def test_malformed_wire_inputs_raise_protocol_errors(rng):
     assert client.process_response(key, response) == db[key]
 
     # client setup: malformed hint / filter params / seed
-    import pytest as _pytest
-
     # structural corruptions only: a bit-flip inside the hint body is
     # valid wire data (wrong hints fail later at decryption, not parse)
     for bad_hint in list(corruptions(hint))[:4]:
