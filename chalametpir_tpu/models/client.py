@@ -131,6 +131,7 @@ class Client:
         auto = device == "auto"
         if auto:
             device = _accelerator_present()
+        a_host = None  # stream-mode host expansion, kept for the fallback
         if device:
             try:
                 from ..ops.client_device import DeviceQueryEngine
@@ -180,7 +181,10 @@ class Client:
                 seed=seed, prg_mode=prg_mode,
             )
         else:
-            pub_mat_a = prg.expand_seed(
+            # stream-mode fallback: the multi-GB XOF expansion may have
+            # already succeeded before the device upload failed — reuse it
+            # instead of paying the most expensive setup step twice
+            pub_mat_a = a_host if a_host is not None else prg.expand_seed(
                 LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
             )
             client = cls(
@@ -225,25 +229,26 @@ class Client:
     def _pop_prepared(self):
         with self._prepared_lock:
             entry = self._prepared.pop() if self._prepared else None
-            depth = len(self._prepared)
-            # spawn decision stays under the lock: two concurrent poppers
-            # must not each start a refill thread (duplicate threads both
-            # compute `need` before either lands, overshooting the pool)
-            spawn = (
-                self._refill_target
-                and depth < self._refill_target
-                and (self._refill_thread is None or not self._refill_thread.is_alive())
-            )
-            if spawn:
-                self._refill_thread = threading.Thread(
-                    target=self._refill_loop, daemon=True
-                )
-                # started inside the lock so a concurrent popper can never
-                # observe a created-but-not-started (is_alive()==False)
-                # thread; start() returns immediately and the child blocks
-                # on the lock until this frame releases it
-                self._refill_thread.start()
+            self._maybe_spawn_refill_locked()
         return entry
+
+    def _maybe_spawn_refill_locked(self) -> None:
+        """Start the background refill thread when the pool is below
+        target. MUST be called with _prepared_lock held: two concurrent
+        poppers must not each start a refill thread (duplicate threads
+        both compute `need` before either lands, overshooting the pool);
+        start() inside the lock also means a concurrent popper can never
+        observe a created-but-not-started (is_alive()==False) thread —
+        the child blocks on the lock until this frame releases it."""
+        if (
+            self._refill_target
+            and len(self._prepared) < self._refill_target
+            and (self._refill_thread is None or not self._refill_thread.is_alive())
+        ):
+            self._refill_thread = threading.Thread(
+                target=self._refill_loop, daemon=True
+            )
+            self._refill_thread.start()
 
     def _refill_loop(self) -> None:
         """Top the pool back up to the target, re-checking after each batch
@@ -331,7 +336,13 @@ class Client:
         randomness — bounded like the filter-construction retry loop
         (params.rs:10); the per-retry overflow odds are ~arity/2^b, so the
         cap is unreachable except under a logic bug, which then surfaces
-        as the error instead of a hang."""
+        as the error instead of a hang.
+
+        Pool interaction contract: exactly min(len(keys), pool depth)
+        prepared entries are consumed, decided once up front; overflow
+        retries always recompute inline and NEVER dip back into the pool
+        (so a concurrent auto_refill can't be silently drained mid-batch
+        and the pool cost of a batch is deterministic)."""
         keys = [bytes(k) for k in keys]
         if len(set(keys)) != len(keys):
             raise PendingQueryExistsForKey()
@@ -346,6 +357,7 @@ class Client:
         with self._prepared_lock:
             while self._prepared and len(pool_entries) < n_pool_target:
                 pool_entries.append(self._prepared.pop())
+            self._maybe_spawn_refill_locked()
         fresh_keys = keys[len(pool_entries) :]
         if fresh_keys:
             codes = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in fresh_keys])
@@ -366,7 +378,7 @@ class Client:
             except ArithmeticOverflowAddingQueryIndicator:
                 for attempt in range(SERVER_SETUP_MAX_ATTEMPT_COUNT):
                     try:
-                        out.append(self.query(key))
+                        out.append(self.query_inline(key))
                         break
                     except ArithmeticOverflowAddingQueryIndicator:
                         continue
@@ -486,7 +498,11 @@ class Client:
         (the worst a stale archive yields is a failed decode)."""
         if self._seed is None:
             raise ValueError("client was constructed without a seed; cannot save")
-        pend_keys = list(self._pending.keys())
+        # one atomic snapshot of the pending dict: a concurrent
+        # process_response() popping a key between "list the keys" and
+        # "read each entry" must not KeyError the save
+        pending = dict(self._pending)
+        pend_keys = list(pending.keys())
         arrays = dict(
             hint=self._hint_mat_m,
             fparams=np.frombuffer(self._filter.to_bytes(), np.uint8),
@@ -497,11 +513,14 @@ class Client:
         )
         if pend_keys:
             arrays["pending_c"] = np.stack(
-                [self._pending[k].vec_c for k in pend_keys]
+                [pending[k].vec_c for k in pend_keys]
             )
-        # write through a file handle: np.savez(str) appends ".npz" to
-        # suffix-less paths, which load() would then fail to find
-        with open(path, "wb") as f:
+        # the archive holds LWE secret material: create it owner-only
+        # (0600) BEFORE any bytes land, and write through a file handle —
+        # np.savez(str) appends ".npz" to suffix-less paths, which load()
+        # would then fail to find
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "wb") as f:
             np.savez(f, **arrays)
 
     @classmethod

@@ -36,7 +36,16 @@ if not _TPU_MODE:
 import numpy as np
 import pytest
 
-_SEED = int(os.environ.get("PIR_TEST_SEED", "0") or "0", 0) or secrets.randbits(48)
+def _parse_seed(x: str) -> int:
+    """base-0 first (accepts the 0x... form the header may print), with a
+    decimal fallback so values like '012' keep parsing as base-10."""
+    try:
+        return int(x, 0)
+    except ValueError:
+        return int(x, 10)
+
+
+_SEED = _parse_seed(os.environ.get("PIR_TEST_SEED", "0") or "0") or secrets.randbits(48)
 
 
 def pytest_report_header(config):

@@ -126,6 +126,53 @@ def test_query_inline_bypasses_pool(pir_pair):
     assert client.process_response(key, server.respond(q)) == db[key]
 
 
+def test_query_batch_overflow_retry_is_pool_neutral(pir_pair):
+    """The batch's pool budget is decided once up front: an overflow
+    retry recomputes inline and must NOT consume extra pool entries
+    (pinned contract — see Client.query_batch docstring)."""
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=5)
+    keys = list(db.keys())[50:53]
+
+    orig = client._add_query_indicator
+    forced = {"left": 2}  # force two overflows on the middle key
+
+    def flaky(query_b, key):
+        if key == keys[1] and forced["left"] > 0:
+            forced["left"] -= 1
+            raise ArithmeticOverflowAddingQueryIndicator()
+        return orig(query_b, key)
+
+    client._add_query_indicator = flaky
+    queries = client.query_batch(keys)
+    assert forced["left"] == 0  # both forced overflows actually fired
+    # 3 batch slots = 3 pool pops; the 2 retries went inline, leaving 2
+    # (an organic overflow can't change this: retries never touch the pool)
+    assert client.prepared_query_count == 2
+    for key, q in zip(keys, queries):
+        assert client.process_response(key, server.respond(q)) == db[key]
+
+
+def test_auto_refill_query_batch_interleaving(pir_pair):
+    """query_batch drains the pool through the same refill trigger as
+    query(): after a batch empties it, the background thread restores the
+    target depth, and interleaved batches keep round-tripping."""
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(
+        seed, hint, fparams, device=False, prepared_queries=2, auto_refill=True
+    )
+    all_keys = list(db.keys())
+    for lo in (60, 64):
+        keys = all_keys[lo : lo + 4]  # 4 > pool target of 2
+        queries = client.query_batch(keys)
+        for key, q in zip(keys, queries):
+            assert client.process_response(key, server.respond(q)) == db[key]
+    deadline = time.time() + 10.0
+    while time.time() < deadline and client.prepared_query_count < 2:
+        time.sleep(0.05)
+    assert client.prepared_query_count >= 2
+
+
 def test_prepared_query_wire_format_matches_inline(pir_pair):
     """Pooled and inline queries must be shape- and protocol-identical:
     the server cannot tell them apart."""
