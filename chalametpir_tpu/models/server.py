@@ -61,6 +61,9 @@ class Server:
         self._num_response_cols = num_response_cols
         self.mat_elem_bit_len = mat_elem_bit_len
         self._mesh = mesh
+        # measured setup-upload attribution, filled by the setup paths that
+        # ship data over the host link (see bench.py floor fields)
+        self.setup_stats: dict = {}
         self._sharded_respond = None
         if mesh is not None:
             from ..parallel import sharded_respond_packed_fn
@@ -219,6 +222,7 @@ class Server:
         import time as _time
 
         phase = dict(wait=0.0, pack=0.0, put=0.0, dispatch=0.0, drain=0.0)
+        upload_bytes = 0
         with telemetry.span(
             "server_setup.stream_pack_upload_fold", chunks=n_chunks, m=m, cols=cols
         ):
@@ -235,6 +239,7 @@ class Server:
                     mat16[r0 : r0 + cc], cc, c_pad, pack, bits, tight_lo=True
                 )
                 phase["pack"] += _time.perf_counter() - t0
+                upload_bytes += lo_host.nbytes + (hi_host.nbytes if hb > 0 else 0)
                 t0 = _time.perf_counter()
                 lo_c = jax.device_put(lo_host)
                 hi_c = jax.device_put(hi_host) if hb > 0 else None
@@ -259,7 +264,17 @@ class Server:
         )
 
         pdb = respond_pallas.PallasDB(lo_dev, hi_dev, bit_len, m, cols, tile_k)
-        return cls("jax", pdb, m, cols, bit_len, "packed"), hint, filt
+        server = cls("jax", pdb, m, cols, bit_len, "packed")
+        # measured upload attribution (not a probe): `put` is the wall time
+        # spent inside the chunk device_put calls and `drain` the final
+        # queue drain — together they bound the time the host link actually
+        # held the setup. Consumed by bench.py's floor/attribution fields.
+        server.setup_stats = {
+            "upload_bytes": upload_bytes,
+            "upload_s": round(phase["put"] + phase["drain"], 3),
+            "phases_s": {k: round(v, 2) for k, v in phase.items()},
+        }
+        return server, hint, filt
 
     @classmethod
     def _setup_sharded(cls, seed, mat_d, bit_len, prg_mode, mesh):
@@ -340,8 +355,12 @@ class Server:
                 if prg_mode == "ctr"
                 else None
             )
+            import time as _time
+
+            t0 = _time.perf_counter()
             with telemetry.span("server_setup.pack_and_upload", m=m, cols=cols):
                 db = respond_pallas.build_pallas_db(mat_d, bit_len, m_align=m_align)
+            pack_upload_s = _time.perf_counter() - t0
 
             # The hint matmul IS a batched respond: each A row block is a
             # batch of hint_block_rows "queries". The hint accumulates in
@@ -379,7 +398,12 @@ class Server:
                         )
                         hint_buf = _accum_hint(hint_buf, out)
                     hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
-                return cls("jax", db, m, cols, bit_len, "packed"), hint
+                server = cls("jax", db, m, cols, bit_len, "packed")
+                server.setup_stats = {
+                    "upload_bytes": db.hbm_bytes,
+                    "upload_s": round(pack_upload_s, 3),
+                }
+                return server, hint
 
             # planes are jit ARGUMENTS (see respond_packed_core) so the
             # compiled program is reused across databases of one geometry
@@ -398,6 +422,7 @@ class Server:
                     hint_buf, out, (r0, jnp.int32(0))
                 )
 
+            up_bytes, up_s = 0, 0.0
             with telemetry.span("server_setup.hint_stream", blocks=n_blocks):
                 hint_buf = jnp.zeros((pad_rows, cols), jnp.uint32)
                 blocks = prg.prefetch_iter(
@@ -406,12 +431,27 @@ class Server:
                 for r0, block in blocks:
                     if block.shape[0] < hint_block_rows:
                         block = np.pad(block, ((0, hint_block_rows - block.shape[0]), (0, 0)))
+                    up_bytes += block.nbytes
+                    t0 = _time.perf_counter()
+                    block_dev = jax.device_put(block)
+                    up_s += _time.perf_counter() - t0
                     hint_buf = hint_step(
-                        hint_buf, jax.device_put(block), jnp.int32(r0),
+                        hint_buf, block_dev, jnp.int32(r0),
                         db.lo, db.hi, bit_len, cols, db.tile_k, interpret,
                     )
                 hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
-            return cls("jax", db, m, cols, bit_len, "packed"), hint
+            server = cls("jax", db, m, cols, bit_len, "packed")
+            # stream mode ships the XOF-expanded A blocks AND the packed DB
+            # planes over the host link — both measured, both attributed
+            server.setup_stats = {
+                "upload_bytes": up_bytes + db.hbm_bytes,
+                # A-block puts + the DB pack/upload pass (host pack CPU time
+                # included: it time-shares the core with the transfer, so
+                # the sum is what the link path actually cost the setup)
+                "upload_s": round(up_s + pack_upload_s, 3),
+                "a_upload_bytes": up_bytes,
+            }
+            return server, hint
 
         p0_host, p1_host = digits.db_digit_planes_np(mat_d)
         d0 = jax.device_put(p0_host)
