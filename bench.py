@@ -1,11 +1,25 @@
 """Benchmark harness: reproduces the reference's divan config on TPU.
 
-Emits JSON lines to stdout. Every line is a complete, valid record for
-the headline metric (server_respond DB-scan bandwidth at 2^20 x 32 B
-keys x 1 kB values, arity 3 — reference README.md:60-62, baseline
-102.51 GB/s on m8g.8xlarge); later lines are supersets of earlier ones
-(client metrics, then the 2^16/2^18 x arity {3,4} divan matrix). A
-timeout therefore can only truncate detail, never zero the artifact.
+Artifact discipline (the round-3 lesson): the driver keeps only a ~2 KB
+tail of this process's output and parses the LAST line as JSON. So every
+line this harness prints to stdout is a COMPACT (<1.8 KB), self-contained
+record — headline fields plus one short dict per completed config — and
+each line supersedes the previous one. A timeout can only truncate
+detail, never produce an unparseable artifact. The full fat record
+(every field, phase breakdowns, legend) is continuously rewritten to
+BENCH_FULL.json next to this file.
+
+Compact row legend (full names in BENCH_FULL.json):
+  c   config, e.g. "20a3" = 2^20 entries arity 3 ("s" suffix = prg=stream,
+      the reference-interop mode; no suffix = ctr, the TPU-native mode)
+  b   mat_elem_bit_len                su  server_setup seconds
+  fl  measured setup upload floor s (seconds the host link actually held
+      the setup — from server.setup_stats, not a probe)
+  rs  server_respond ms (single)     gb  respond scan GB/s (ref convention)
+  bq  batched respond ms/query       q   pooled client_query ms
+  qi  inline client_query ms         ql  inline link floor ms (RTT + d2h)
+  e2  serialized respond e2e ms      el  e2e link floor ms (RTT + h2d + d2h)
+  pr  process_response us (median-32)
 
 Timing notes for this environment: the device queue acks before
 completion and d2h readbacks carry a large constant dispatch latency, so
@@ -14,17 +28,22 @@ slope of k chained scans inside one jit (each iteration's query depends
 on the previous response, so XLA can neither hoist nor parallelise the
 scans) — constant overheads cancel exactly. The host<->device tunnel
 here moves ~0.03 GB/s (a tunnel artifact, not TPU DMA), which bounds
-setup's DB upload and the e2e serialized path.
+setup's DB upload and the e2e serialized path; the link probes (h2d
+rate, d2h rate, round-trip constant) feed the fl/ql/el attribution
+fields.
 
 Env knobs:
   PIR_BENCH_LOG_N      log2 of headline DB entries (default 20)
   PIR_BENCH_ARITY      3 or 4 (default 3)
   PIR_BENCH_VALUE_LEN  value bytes (default 1024)
   PIR_BENCH_BATCH      batched-respond size (default 64)
-  PIR_BENCH_BUDGET_S   wall budget; matrix configs are skipped when the
-                       remaining budget cannot fit them (default 520)
+  PIR_BENCH_BUDGET_S   wall budget; stages are skipped when the remaining
+                       budget cannot fit them (default 600)
   PIR_BENCH_MATRIX     "0" disables the small-config matrix
-  PIR_BENCH_PRG        "ctr" (default, TPU-native) or "stream" (interop)
+  PIR_BENCH_STREAM     "0" disables the stream-mode (interop) rows
+  PIR_BENCH_CHECK_TPU  "0" disables the in-process compiled-kernel tier
+  PIR_BENCH_PRG        headline PRG mode: "ctr" (default) or "stream"
+  PIR_BENCH_SCALING_LOG_N  real-setup scaling size (default 21; 0 off)
 """
 
 from __future__ import annotations
@@ -40,13 +59,20 @@ LOG_N = int(os.environ.get("PIR_BENCH_LOG_N", "20"))
 ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
 VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
 BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
-BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "520"))
+BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "600"))
 RUN_MATRIX = os.environ.get("PIR_BENCH_MATRIX", "1") not in ("0", "")
+RUN_STREAM = os.environ.get("PIR_BENCH_STREAM", "1") not in ("0", "")
+RUN_CHECK_TPU = os.environ.get("PIR_BENCH_CHECK_TPU", "1") not in ("0", "")
 PRG_MODE = os.environ.get("PIR_BENCH_PRG", "ctr")
 
 BASELINE_RESPOND_GBPS = 102.51  # m8g.8xlarge, README.md:60-61
 T_START = time.perf_counter()
-H2D_RATE: float | None = None  # measured once in main()
+H2D_RATE: float | None = None  # GB/s, measured once in main()
+D2H_RATE: float | None = None  # GB/s
+RTT_MS: float | None = None  # tiny h2d+d2h round-trip constant
+
+FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+MAX_LINE = 1800  # hard cap: the driver's tail window is ~2 KB
 
 
 def log(msg: str) -> None:
@@ -56,6 +82,117 @@ def log(msg: str) -> None:
 def left() -> float:
     return BUDGET_S - (time.perf_counter() - T_START)
 
+
+# ---------------------------------------------------------------------------
+# compact-artifact state: one short dict per config, rebuilt and re-printed
+# after every completed (or partially completed) stage
+
+_SHORT = [
+    ("server_setup_s", "su", 1),
+    ("server_setup_upload_s", "fl", 1),
+    ("server_respond_ms", "rs", 3),
+    ("respond_scan_GBps", "gb", 1),
+    ("server_respond_batch_per_query_ms", "bq", 4),
+    ("client_query_ms", "q", 2),
+    ("client_query_inline_ms", "qi", 1),
+    ("client_query_inline_link_ms", "ql", 1),
+    ("server_respond_e2e_ms", "e2", 1),
+    ("server_respond_e2e_link_ms", "el", 1),
+    ("client_process_response_us", "pr", 1),
+]
+# dropped from compact rows first (fat record keeps everything) if the
+# final line would overflow the driver's tail window
+_TRIM_ORDER = ["el", "ql", "bq", "pr", "fl", "qi"]
+
+STATE: dict = {
+    "result": {
+        "metric": "server_respond_db_scan_GBps",
+        "value": None,
+        "unit": "GB/s",
+        "vs_baseline": None,
+    },
+    "rows": [],  # compact per-config dicts, in run order
+    "fat_rows": [],  # full per-config dicts, same order
+    "scaling": [],
+    "check_tpu": None,
+}
+
+
+def _compact(rec: dict) -> dict:
+    cfg = rec.get("config", "?")
+    # "2^20x1024B arity3 prg=ctr" -> "20a3"; stream mode gets an "s" suffix
+    short = cfg
+    if cfg.startswith("2^"):
+        body = cfg[2:]
+        logn = body.split("x")[0]
+        ar = body.split("arity")[1][0] if "arity" in body else "?"
+        short = f"{logn}a{ar}" + ("s" if "stream" in cfg else "")
+        if "SYNTH" in cfg:
+            short += "synth"
+    out = {"c": short}
+    if "b" in rec:
+        out["b"] = rec["b"]
+    for full, key, nd in _SHORT:
+        if rec.get(full) is not None:
+            out[key] = round(rec[full], nd)
+    if "skipped" in rec:
+        out["skip"] = rec["skipped"]
+    if "error" in rec:
+        out["err"] = rec["error"][:60]
+    return out
+
+
+def emit_state() -> None:
+    """Print the compact record (guaranteed <= MAX_LINE bytes) to stdout
+    and rewrite the fat record to BENCH_FULL.json."""
+    res = STATE["result"]
+    line_obj = dict(res)
+    # copies: the overflow trimming below must not eat STATE's own rows
+    line_obj["rows"] = [dict(r) for r in STATE["rows"]]
+    if STATE["scaling"]:
+        line_obj["scaling"] = [dict(r) for r in STATE["scaling"]]
+    if STATE["check_tpu"] is not None:
+        line_obj["check_tpu"] = STATE["check_tpu"]
+    line_obj["full"] = "BENCH_FULL.json"
+    line = json.dumps(line_obj, separators=(",", ":"))
+    for drop in _TRIM_ORDER:
+        if len(line) <= MAX_LINE:
+            break
+        for row in line_obj["rows"]:
+            row.pop(drop, None)
+        line = json.dumps(line_obj, separators=(",", ":"))
+    while len(line) > MAX_LINE and len(line_obj["rows"]) > 1:
+        # last resort: drop the oldest non-headline row entirely
+        line_obj["rows"].pop(1)
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line, flush=True)
+    try:
+        fat = {
+            **res,
+            "legend": "see bench.py docstring; rows are full-name records",
+            "tunnel": {"h2d_GBps": H2D_RATE, "d2h_GBps": D2H_RATE, "rtt_ms": RTT_MS},
+            "rows": STATE["fat_rows"],
+            "scaling": STATE["scaling_fat"] if STATE.get("scaling_fat") else STATE["scaling"],
+            "check_tpu": STATE["check_tpu"],
+        }
+        with open(FULL_PATH, "w") as f:
+            json.dump(fat, f, indent=1)
+    except Exception as e:  # the stdout artifact must never die to disk I/O
+        log(f"BENCH_FULL.json write failed: {e!r}")
+
+
+def add_row(rec: dict) -> int:
+    STATE["rows"].append(_compact(rec))
+    STATE["fat_rows"].append(rec)
+    return len(STATE["rows"]) - 1
+
+
+def update_row(idx: int, rec: dict) -> None:
+    STATE["rows"][idx] = _compact(rec)
+    STATE["fat_rows"][idx] = rec
+
+
+# ---------------------------------------------------------------------------
 
 _db_cache: dict = {}
 
@@ -74,7 +211,7 @@ def build_db(n: int, value_len: int, rng: np.random.Generator) -> dict[bytes, by
     # compresses, so low-entropy filler would flatter every upload-bound
     # number. Generate into a MAP_POPULATE buffer in chunks (a GB-scale
     # rng.bytes() spends ~10 s just demand-paging its output on this VM)
-    # and materialize bytes objects via numpy 'S' views, not a Python loop.
+    # and materialize bytes objects via numpy 'V' views, not a Python loop.
     vals_buf = alloc_array((n * value_len,), np.uint8)
     step = 64 << 20
     for i in range(0, vals_buf.size, step):
@@ -195,7 +332,8 @@ def make_respond_chain(server):
     return scan_seconds
 
 
-def run_config(log_n, arity, value_len, rng, batch=None, emit=None):
+def run_config(log_n, arity, value_len, rng, prg_mode="ctr", batch=None,
+               client_device="auto", emit=None):
     """Run one divan config; returns a metrics dict. `emit(partial)` is
     called as soon as the respond scan number exists. The GC freeze taken
     while the config's DB dict is hot is undone afterwards so finished
@@ -203,25 +341,24 @@ def run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     import gc
 
     try:
-        return _run_config(log_n, arity, value_len, rng, batch=batch, emit=emit)
+        return _run_config(log_n, arity, value_len, rng, prg_mode=prg_mode,
+                           batch=batch, client_device=client_device, emit=emit)
     finally:
         gc.unfreeze()
         gc.collect()
 
 
-def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
-    import jax  # noqa: F401
-
-    from chalametpir_tpu import Client, Server
+def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
+                emit):
+    from chalametpir_tpu import Server
     from chalametpir_tpu.core import matrix_io
-    from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
 
     n = 1 << log_n
-    rec = {"config": f"2^{log_n}x{value_len}B arity{arity} prg={PRG_MODE}"}
+    rec = {"config": f"2^{log_n}x{value_len}B arity{arity} prg={prg_mode}"}
 
     t0 = time.perf_counter()
     db = build_db(n, value_len, rng)
-    log(f"2^{log_n} a{arity}: db built in {time.perf_counter()-t0:.1f}s")
+    log(f"2^{log_n} a{arity} {prg_mode}: db built in {time.perf_counter()-t0:.1f}s")
     # the 2^20 dict pins >2M objects in the old generation; JAX
     # tracing/compilation allocates heavily, and every gen-2 collection
     # then scans millions of objects — freeze() exempts them (measured:
@@ -234,22 +371,27 @@ def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     seed = rng.bytes(32)
     t0 = time.perf_counter()
     server, hint_bytes, filter_param_bytes = Server.setup(
-        seed, db, arity=arity, prg_mode=PRG_MODE, rng=rng
+        seed, db, arity=arity, prg_mode=prg_mode, rng=rng
     )
     rec["server_setup_s"] = round(time.perf_counter() - t0, 2)
     rec["b"] = server.mat_elem_bit_len
-    log(f"2^{log_n} a{arity}: server_setup {rec['server_setup_s']}s (b={server.mat_elem_bit_len})")
+    log(f"2^{log_n} a{arity} {prg_mode}: server_setup {rec['server_setup_s']}s "
+        f"(b={server.mat_elem_bit_len})")
 
-    # attribution: setup is floored by shipping the packed DB through the
-    # host<->device link (~0.03 GB/s tunnel here; ~13 GB/s on real PCIe,
-    # where the same upload is <0.1 s)
-    if server._backend == "jax" and server._layout == "packed" and H2D_RATE:
-        planes = server._planes
-        upload_bytes = planes.lo.shape[0] * server.num_response_cols + (
-            planes.hi.size if planes.hi is not None else 0
-        )
-        rec["server_setup_upload_GB"] = round(upload_bytes / 1e9, 3)
-        rec["server_setup_tunnel_floor_s"] = round(upload_bytes / 1e9 / H2D_RATE, 1)
+    # attribution: MEASURED upload floor from inside the setup itself
+    # (server.setup_stats) — the seconds the host link actually held the
+    # setup and the bytes it moved; the derived rate is the effective
+    # in-pipeline link rate, immune to probe-vs-run weather drift
+    stats = getattr(server, "setup_stats", None) or {}
+    if stats.get("upload_bytes"):
+        rec["server_setup_upload_GB"] = round(stats["upload_bytes"] / 1e9, 3)
+        rec["server_setup_upload_s"] = stats["upload_s"]
+        if stats["upload_s"]:
+            rec["server_setup_upload_GBps"] = round(
+                stats["upload_bytes"] / 1e9 / stats["upload_s"], 4
+            )
+        if stats.get("phases_s"):
+            rec["server_setup_phases_s"] = stats["phases_s"]
 
     # --- respond scan (the headline): measured before any client work so a
     # timeout can never eat it. Uses synthetic uniform queries — the scan
@@ -281,7 +423,7 @@ def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
         respond_batch_scan_GBps=round(ref_db_bytes / t_respond_batch_per_q / 1e9, 2),
     )
     log(
-        f"2^{log_n} a{arity}: respond {t_respond*1e3:.3f} ms single "
+        f"2^{log_n} a{arity} {prg_mode}: respond {t_respond*1e3:.3f} ms single "
         f"({scan_gbps:.1f} GB/s), {t_respond_batch_per_q*1e3:.4f} ms/q batched x{batch}"
     )
     if emit is not None:
@@ -291,15 +433,29 @@ def _run_config(log_n, arity, value_len, rng, batch=None, emit=None):
     # already emitted; a client-side device failure must not zero them)
     try:
         _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
-                       filter_param_bytes)
+                       filter_param_bytes, prg_mode, client_device)
     except Exception as e:
         log(f"2^{log_n} a{arity}: client phases failed: {e!r}")
         rec["client_error"] = repr(e)
     return rec
 
 
+def _link_floor_ms(h2d_bytes: int, d2h_bytes: int) -> float | None:
+    """Measured link floor for one device call that uploads h2d_bytes and
+    reads back d2h_bytes: the tiny-transfer round-trip constant plus the
+    payload time at the measured directional rates."""
+    if RTT_MS is None:
+        return None
+    ms = RTT_MS
+    if h2d_bytes and H2D_RATE:
+        ms += h2d_bytes / 1e9 / H2D_RATE * 1e3
+    if d2h_bytes and D2H_RATE:
+        ms += d2h_bytes / 1e9 / D2H_RATE * 1e3
+    return round(ms, 1)
+
+
 def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
-                   filter_param_bytes):
+                   filter_param_bytes, prg_mode, client_device):
     from chalametpir_tpu import Client
     from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
 
@@ -307,10 +463,12 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
     # (integrations/benches/offline_phase.rs:59): one discarded warm call,
     # then the median of N.
     t0 = time.perf_counter()
-    client = Client.setup(seed, hint_bytes, filter_param_bytes, prg_mode=PRG_MODE)
+    client = Client.setup(seed, hint_bytes, filter_param_bytes,
+                          prg_mode=prg_mode, device=client_device)
     rec["client_setup_s"] = round(time.perf_counter() - t0, 2)
     rec["client_on_device"] = client.uses_device
-    log(f"2^{log_n} a{arity}: client_setup {rec['client_setup_s']}s (device={client.uses_device})")
+    log(f"2^{log_n} a{arity}: client_setup {rec['client_setup_s']}s "
+        f"(device={client.uses_device})")
 
     # FrodoPIR offline preprocessing (ia.cr/2022/981): the (b, c) pair is
     # key-independent, so the paper's client computes it before the query
@@ -349,9 +507,15 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
         _query_retry(client.query_inline, key)
         times.append(time.perf_counter() - t0)
     rec["client_query_inline_ms"] = round(float(np.median(times)) * 1e3, 2)
+    m = server.num_query_cols
+    if client.uses_device:
+        # the inline query's device leg: tiny signs upload, (m,) uint32
+        # query vector readback — everything else is host-side math
+        rec["client_query_inline_link_ms"] = _link_floor_ms(0, 4 * m)
     log(
         f"2^{log_n} a{arity}: client_query {rec['client_query_ms']} ms online "
-        f"(pool), {rec['client_query_inline_ms']} ms inline, "
+        f"(pool), {rec['client_query_inline_ms']} ms inline "
+        f"(link floor {rec.get('client_query_inline_link_ms')}), "
         f"prepare {rec['client_prepare_per_query_ms']} ms/q amortized"
     )
 
@@ -364,6 +528,11 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
         response_bytes = server.respond(queries_bytes[0])
         times.append(time.perf_counter() - t0)
     rec["server_respond_e2e_ms"] = round(float(np.median(times)) * 1e3, 2)
+    if server._backend == "jax":
+        # e2e = (m,) uint32 query h2d + scan + (cols,) uint32 response d2h
+        rec["server_respond_e2e_link_ms"] = _link_floor_ms(
+            4 * m, 4 * server.num_response_cols
+        )
 
     # process_response: warm 1, median of 32 (pending state restored via
     # the reference's own bench hooks, client.rs:60-71)
@@ -381,134 +550,57 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
     assert value == db[keys[2]], "retrieval mismatch (hooked)!"
     rec["client_process_response_us"] = round(float(np.median(times)) * 1e6, 2)
     log(
-        f"2^{log_n} a{arity}: e2e {rec['server_respond_e2e_ms']} ms, "
+        f"2^{log_n} a{arity}: e2e {rec['server_respond_e2e_ms']} ms "
+        f"(link floor {rec.get('server_respond_e2e_link_ms')}), "
         f"process_response {rec['client_process_response_us']} us (median-32)"
     )
 
 
-def main() -> None:
-    from chalametpir_tpu.utils import compile_cache, telemetry
+def run_check_tpu() -> str:
+    """Run the compiled-kernel tier (tests/test_tpu_compiled.py) in-process
+    on the real backend and return a driver-visible verdict string.
 
-    telemetry.set_trace(True)  # phase spans on stderr
-    compile_cache.enable_compile_cache()
+    In-process (not a pytest subprocess) because this environment's device
+    acquisition through the tunnel can stall ~10 min when another process
+    just held the device — the bench already owns it. The assertions are
+    the same ones `make check-tpu` runs (exactness of the compiled Pallas
+    kernels and round trips vs host oracles, the analogue of the reference
+    CI running its suite with --features gpu, test_ci.yml:36-48)."""
+    import importlib.util
+    import zlib
+
     import jax
 
-    rng = np.random.default_rng(0xBEEF)
+    if jax.default_backend() == "cpu":
+        return "skip (no accelerator backend)"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "test_tpu_compiled.py")
+    spec = importlib.util.spec_from_file_location("bench_check_tpu", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from chalametpir_tpu.utils.compile_cache import enable_compile_cache
 
-    # first line out BEFORE any device call — and jax.default_backend()
-    # below IS one (it initializes the XLA backend): device acquisition
-    # through the tunnel has been observed to stall ~10 min when a prior
-    # process just released it; if a harness timeout then kills this run,
-    # the artifact still carries one parseable record
-    print(
-        json.dumps(
-            {
-                "metric": "server_respond_db_scan_GBps",
-                "value": None,
-                "unit": "GB/s",
-                "vs_baseline": None,
-                "status": "starting (device init pending); later lines supersede",
-            }
-        ),
-        flush=True,
-    )
-    log(f"backend={jax.default_backend()} headline=2^{LOG_N} arity{ARITY} {VALUE_LEN}B budget={BUDGET_S}s")
-
-    # measure the host->device link once: server_setup here is dominated by
-    # shipping the packed DB through this environment's tunnel (~0.03 GB/s;
-    # real TPU DMA would make the same upload ~0.1 s), so the artifact
-    # carries the rate for attribution
-    import jax.numpy as jnp
-
-    h2d_rate = None
-    try:
-        warm = jax.device_put(np.zeros(1 << 20, np.int8))
-        float(jnp.max(warm.astype(jnp.int32)))  # device init + queue drain
-        del warm
-        # random payload: the tunnel transport compresses, so a zeros
-        # probe reads ~2x the rate the (incompressible) packed DB planes
-        # actually get
-        probe = np.random.default_rng(7).integers(
-            -128, 128, size=32 << 20
-        ).astype(np.int8)
+    enable_compile_cache()
+    names = sorted(n for n in dir(mod) if n.startswith("test_"))
+    passed, failed = 0, []
+    for name in names:
+        fn = getattr(mod, name)
+        rng = np.random.default_rng([0xC41, zlib.crc32(name.encode())])
         t0 = time.perf_counter()
-        d = jax.device_put(probe)
-        float(jnp.max(d.astype(jnp.int32)))  # force the transfer to drain
-        h2d_rate = round(probe.nbytes / (time.perf_counter() - t0) / 1e9, 4)
-        del d
-    except Exception:
-        pass
-    log(f"tunnel h2d ~{h2d_rate} GB/s")
-    global H2D_RATE
-    H2D_RATE = h2d_rate
-
-    result = {
-        "metric": "server_respond_db_scan_GBps",
-        "value": None,
-        "unit": "GB/s",
-        "vs_baseline": None,
-        "tunnel_h2d_GBps": h2d_rate,
-    }
-
-    def emit(rec):
-        result["value"] = rec.get("respond_scan_GBps")
-        result["vs_baseline"] = (
-            round(rec["respond_scan_GBps"] / BASELINE_RESPOND_GBPS, 3)
-            if rec.get("respond_scan_GBps")
-            else None
-        )
-        merged = {**result, **{k: v for k, v in rec.items() if k not in result}}
-        result.update(merged)
-        print(json.dumps(merged), flush=True)
-
-    headline = run_config(LOG_N, ARITY, VALUE_LEN, rng, emit=emit)
-    emit(headline)
-
-    if RUN_MATRIX:
-        matrix = []
-        # divan config sweep (integrations/benches/offline_phase.rs:40-57),
-        # completed with the 2^20 arity-4 headline row — run FIRST so it
-        # reuses the headline's still-cached 2^20 DB dict
-        for log_n, arity in ((20, 4), (16, 3), (16, 4), (18, 3), (18, 4)):
-            # per-config floors (warm, DB dict cached for the 2^20 row)
-            need = {16: 25, 18: 45, 20: 100}[log_n]
-            if left() < need:
-                log(f"matrix: skipping 2^{log_n} a{arity} (budget)")
-                matrix.append({"config": f"2^{log_n} arity{arity}", "skipped": "budget"})
-                continue
-            try:
-                matrix.append(run_config(log_n, arity, VALUE_LEN, rng, batch=16))
-            except Exception as e:  # keep the artifact even if a config dies
-                log(f"matrix: 2^{log_n} a{arity} failed: {e!r}")
-                matrix.append({"config": f"2^{log_n} arity{arity}", "error": repr(e)})
-            result["matrix"] = matrix
-            print(json.dumps(result), flush=True)
-
-    # scaling anchor above 2^20 (single chip): respond scan + setup only,
-    # attempted when the remaining budget allows (PIR_BENCH_SCALING_LOG_N
-    # to force a size; 0 disables; off for scaled-down smoke runs)
-    scale_default = "21" if LOG_N >= 20 else "0"
-    scale_log_n = int(os.environ.get("PIR_BENCH_SCALING_LOG_N", scale_default))
-    # the scaling setup is tunnel-bound: gate on the measured rate so the
-    # attempt only starts when it can actually finish inside the budget
-    # (packed 2^21 planes ~2.5 GB; +60 s for DB build/encode/scan/slack)
-    scale_need = 60 + (2.5 * (1 << scale_log_n) / (1 << 21)) / (H2D_RATE or 0.03)
-    if scale_log_n and left() > scale_need:
         try:
-            rec = _run_scaling_point(scale_log_n, rng)
-            result["scaling"] = rec
-            print(json.dumps(result), flush=True)
+            fn(rng)
         except Exception as e:
-            log(f"scaling 2^{scale_log_n} failed: {e!r}")
-            result["scaling"] = {"config": f"2^{scale_log_n}", "error": repr(e)}
-            print(json.dumps(result), flush=True)
-    elif scale_log_n:
-        log(f"scaling 2^{scale_log_n}: skipped (need ~{scale_need:.0f}s, left {left():.0f}s)")
-        result["scaling"] = {"config": f"2^{scale_log_n}", "skipped": "budget"}
-        print(json.dumps(result), flush=True)
+            failed.append(f"{name}: {e!r:.80}")
+            log(f"check-tpu FAIL {name}: {e!r}")
+        else:
+            passed += 1
+            log(f"check-tpu pass {name} ({time.perf_counter()-t0:.1f}s)")
+    if failed:
+        return f"FAIL {len(failed)}/{len(names)}: " + "; ".join(failed)[:160]
+    return f"pass {passed}/{len(names)}"
 
 
-def _run_scaling_point(log_n, rng):
+def _run_scaling_point(log_n, rng, prg_mode="ctr"):
     """Respond-scan + setup at a >2^20 size (the 2^23 sharded target's
     kernel regime on one chip): value 1 kB, arity 3."""
     import gc
@@ -517,17 +609,21 @@ def _run_scaling_point(log_n, rng):
     from chalametpir_tpu.core import matrix_io
 
     n = 1 << log_n
-    rec = {"config": f"2^{log_n}x1024B arity3 prg={PRG_MODE}"}
+    rec = {"config": f"2^{log_n}x1024B arity3 prg={prg_mode}"}
     db = build_db(n, 1024, rng)
     gc.freeze()
     try:
         seed = rng.bytes(32)
         t0 = time.perf_counter()
         server, hint_bytes, fpb = Server.setup(
-            seed, db, arity=3, prg_mode=PRG_MODE, rng=rng
+            seed, db, arity=3, prg_mode=prg_mode, rng=rng
         )
         rec["server_setup_s"] = round(time.perf_counter() - t0, 2)
         rec["b"] = server.mat_elem_bit_len
+        stats = getattr(server, "setup_stats", None) or {}
+        if stats.get("upload_bytes"):
+            rec["server_setup_upload_GB"] = round(stats["upload_bytes"] / 1e9, 3)
+            rec["server_setup_upload_s"] = stats["upload_s"]
         q_rng = np.random.default_rng(0xD15C)
         queries = q_rng.integers(
             0, 1 << 32, size=(1, server.num_query_cols), dtype=np.uint32
@@ -546,6 +642,253 @@ def _run_scaling_point(log_n, rng):
     finally:
         gc.unfreeze()
         gc.collect()
+
+
+def _run_scaling_synthetic(log_n=23, value_len=1024):
+    """Respond scan at the BASELINE config-5 regime (2^23 x 1 kB, b=8,
+    lo-plane only, ~10.9 GB resident) on ONE chip, with SYNTHETIC planes:
+    the geometry (m, cols, b, padding) is exactly what a real setup
+    derives for this size, but the plane content is device-generated
+    random bytes — the scan kernel is input-independent integer work
+    (asserted exact vs oracle in tests), so the rate is the real one
+    while skipping the ~10 GB tunnel upload a real setup would need here.
+    Clearly labeled SYNTHETIC-PLANES in the artifact."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from chalametpir_tpu.core import codec, matrix_io
+    from chalametpir_tpu.core.filter import filter_geometry
+    from chalametpir_tpu.models.server import Server
+    from chalametpir_tpu.ops import respond_pallas
+    from chalametpir_tpu.params import find_mat_elem_bit_len
+
+    n = 1 << log_n
+    b = find_mat_elem_bit_len(n)
+    _, _, m = filter_geometry(3, n)
+    cols = codec.encoded_row_width(value_len, b)
+    tile_k = respond_pallas.DEFAULT_TILE_K
+    m_pad = -(-m // tile_k) * tile_k
+    c_pad = -(-cols // respond_pallas.LANE) * respond_pallas.LANE
+    rec = {
+        "config": f"2^{log_n}x{value_len}B arity3 SYNTHETIC-PLANES",
+        "b": b,
+        "note": "geometry exact (m,cols,padding from a real setup); plane "
+                "content device-generated random (scan is input-independent)",
+    }
+    if b > 8:
+        rec["error"] = "synthetic path only models the lo-only regime"
+        return rec
+
+    chunk = 1 << 19  # 512k rows x c_pad ~= 0.6 GB per generation step
+
+    @partial(jax.jit, donate_argnums=0, static_argnames=("rows",))
+    def fill(buf, key, r0, rows):
+        bits = jax.random.bits(key, (rows, c_pad), dtype=jnp.uint8)
+        chunk8 = jax.lax.bitcast_convert_type(bits, jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, chunk8, (r0, jnp.int32(0)))
+
+    t0 = time.perf_counter()
+    lo = jnp.full((m_pad, c_pad), -128, jnp.int8)
+    key = jax.random.PRNGKey(0x23)
+    for r0 in range(0, m_pad, chunk):
+        key, sub = jax.random.split(key)
+        rows = min(chunk, m_pad - r0)
+        lo = fill(lo, sub, jnp.int32(r0), rows)
+    lo.block_until_ready()
+    rec["plane_gen_s"] = round(time.perf_counter() - t0, 2)
+    rec["resident_GB"] = round(lo.nbytes / 1e9, 2)
+
+    pdb = respond_pallas.PallasDB(lo, None, b, m, cols, tile_k)
+    server = Server("jax", pdb, m, cols, b, "packed")
+    q_rng = np.random.default_rng(0xD15C)
+    queries = q_rng.integers(0, 1 << 32, size=(1, m), dtype=np.uint32)
+    scan_seconds = make_respond_chain(server)
+    t_respond = scan_seconds(queries, 1)
+    cf = matrix_io.compression_factor(b)
+    ref_db_bytes = m * (-(-cols // cf)) * 4
+    rec["server_respond_ms"] = round(t_respond * 1e3, 3)
+    rec["respond_scan_GBps"] = round(ref_db_bytes / t_respond / 1e9, 2)
+    log(
+        f"scaling 2^{log_n} synth: planes {rec['resident_GB']} GB in "
+        f"{rec['plane_gen_s']}s, scan {rec['respond_scan_GBps']} GB/s "
+        f"({rec['server_respond_ms']} ms)"
+    )
+    return rec
+
+
+def _probe_link():
+    """Measure the host<->device link once: h2d rate, d2h rate, and the
+    tiny-transfer round-trip constant. Random payloads — the tunnel
+    transport compresses, so zeros would read ~2x the rate the
+    (mod-2^b-uniform, incompressible) PIR payloads actually get."""
+    global H2D_RATE, D2H_RATE, RTT_MS
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        warm = jax.device_put(np.zeros(1 << 20, np.int8))
+        float(jnp.max(warm.astype(jnp.int32)))  # device init + queue drain
+        del warm
+        # round-trip constant: tiny payload, median of 5
+        tiny = np.zeros(8, np.int8)
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            d = jax.device_put(tiny)
+            np.asarray(d)  # exactly one h2d + one d2h pair
+            rtts.append(time.perf_counter() - t0)
+        RTT_MS = round(float(np.median(rtts)) * 1e3, 1)
+        probe = np.random.default_rng(7).integers(
+            -128, 128, size=32 << 20
+        ).astype(np.int8)
+        t0 = time.perf_counter()
+        d = jax.device_put(probe)
+        float(jnp.max(d.astype(jnp.int32)))  # force the transfer to drain
+        h2d_s = time.perf_counter() - t0
+        H2D_RATE = round(probe.nbytes / 1e9 / h2d_s, 4)
+        t0 = time.perf_counter()
+        back = np.asarray(d)
+        d2h_s = max(time.perf_counter() - t0 - (RTT_MS or 0) / 1e3, 1e-6)
+        D2H_RATE = round(back.nbytes / 1e9 / d2h_s, 4)
+        del d, back
+    except Exception as e:
+        log(f"link probe failed: {e!r}")
+    log(f"tunnel h2d ~{H2D_RATE} GB/s, d2h ~{D2H_RATE} GB/s, rtt ~{RTT_MS} ms")
+
+
+def main() -> None:
+    from chalametpir_tpu.utils import compile_cache, telemetry
+
+    telemetry.set_trace(True)  # phase spans on stderr
+    compile_cache.enable_compile_cache()
+
+    rng = np.random.default_rng(0xBEEF)
+
+    # first line out BEFORE any device call — jax backend init through the
+    # tunnel has been observed to stall ~10 min when a prior process just
+    # released the device; if a harness timeout then kills this run, the
+    # artifact still carries one parseable record
+    emit_state()
+    import jax
+
+    log(f"backend={jax.default_backend()} headline=2^{LOG_N} arity{ARITY} "
+        f"{VALUE_LEN}B budget={BUDGET_S}s")
+    _probe_link()
+    res = STATE["result"]
+    res["tunnel_h2d_GBps"] = H2D_RATE
+    res["tunnel_d2h_GBps"] = D2H_RATE
+    res["tunnel_rtt_ms"] = RTT_MS
+
+    def on_partial(idx):
+        def emit(rec):
+            if idx == 0 and rec.get("respond_scan_GBps"):
+                res["value"] = rec["respond_scan_GBps"]
+                res["vs_baseline"] = round(
+                    rec["respond_scan_GBps"] / BASELINE_RESPOND_GBPS, 3
+                )
+            update_row(idx, rec)
+            emit_state()
+
+        return emit
+
+    def run_stage(log_n, arity, prg_mode="ctr", need=0.0, batch=None,
+                  client_device="auto"):
+        rec = {"config": f"2^{log_n}x{VALUE_LEN}B arity{arity} prg={prg_mode}"}
+        idx = add_row(rec)
+        if need and left() < need:
+            log(f"skip 2^{log_n} a{arity} {prg_mode} (need ~{need:.0f}s, "
+                f"left {left():.0f}s)")
+            rec["skipped"] = "budget"
+            update_row(idx, rec)
+            emit_state()
+            return
+        try:
+            rec = run_config(log_n, arity, VALUE_LEN, rng, prg_mode=prg_mode,
+                             batch=batch, client_device=client_device,
+                             emit=on_partial(idx))
+        except Exception as e:
+            log(f"2^{log_n} a{arity} {prg_mode} failed: {e!r}")
+            rec["error"] = repr(e)
+        update_row(idx, rec)
+        emit_state()
+
+    h2d = H2D_RATE or 0.03
+
+    # 1. headline (always)
+    run_stage(LOG_N, ARITY, PRG_MODE)
+
+    # 2. the BASELINE config-5 regime on one chip (synthetic planes, cheap:
+    #    no DB build, no upload) — before the matrix so a budget kill can't
+    #    eat it; placed after the headline so HBM holds only one big DB
+    if LOG_N >= 20 and left() > 120:
+        try:
+            rec = _run_scaling_synthetic(23, VALUE_LEN)
+        except Exception as e:
+            log(f"scaling synth failed: {e!r}")
+            rec = {"config": "2^23 SYNTHETIC-PLANES", "error": repr(e)}
+        STATE["scaling"].append(_compact(rec))
+        STATE.setdefault("scaling_fat", []).append(rec)
+        emit_state()
+        import gc
+
+        gc.collect()  # release the ~11 GB synthetic plane before the matrix
+
+    # 3. headline-size arity-4 row (reuses the cached DB dict)
+    if RUN_MATRIX and LOG_N == 20:
+        run_stage(20, 4, "ctr", need=100, batch=16)
+
+    # 4. compiled-kernel tier on hardware, surfaced in the artifact
+    if RUN_CHECK_TPU and LOG_N >= 20:
+        if left() > 200:
+            t0 = time.perf_counter()
+            try:
+                STATE["check_tpu"] = run_check_tpu()
+            except Exception as e:
+                STATE["check_tpu"] = f"error: {e!r:.80}"
+            log(f"check_tpu: {STATE['check_tpu']} "
+                f"({time.perf_counter()-t0:.0f}s)")
+        else:
+            STATE["check_tpu"] = "skip (budget)"
+        emit_state()
+
+    # 5. the divan small-config matrix + the stream-mode (interop) rows,
+    #    ordered so each DB size is built once (the cache holds one DB)
+    if RUN_MATRIX:
+        run_stage(16, 3, "ctr", need=25, batch=16)
+        run_stage(16, 4, "ctr", need=25, batch=16)
+        if RUN_STREAM:
+            # reference-interop mode: A is a serial host XOF squeeze that
+            # must ship over the link (matrix.rs:541-558); host client
+            # models the Rust/WASM interop peer
+            run_stage(16, 3, "stream", need=0.6 / h2d + 40, batch=16,
+                      client_device=False)
+        run_stage(18, 3, "ctr", need=45, batch=16)
+        run_stage(18, 4, "ctr", need=45, batch=16)
+        if RUN_STREAM:
+            run_stage(18, 3, "stream", need=2.5 / h2d + 60, batch=16,
+                      client_device=False)
+
+    # 6. real-setup scaling anchor above 2^20 (single chip)
+    scale_default = "21" if LOG_N >= 20 else "0"
+    scale_log_n = int(os.environ.get("PIR_BENCH_SCALING_LOG_N", scale_default))
+    if scale_log_n:
+        scale_need = 60 + (2.5 * (1 << scale_log_n) / (1 << 21)) / h2d
+        if left() > scale_need:
+            try:
+                rec = _run_scaling_point(scale_log_n, rng)
+            except Exception as e:
+                log(f"scaling 2^{scale_log_n} failed: {e!r}")
+                rec = {"config": f"2^{scale_log_n}", "error": repr(e)}
+        else:
+            log(f"scaling 2^{scale_log_n}: skipped (need ~{scale_need:.0f}s, "
+                f"left {left():.0f}s)")
+            rec = {"config": f"2^{scale_log_n}x1024B arity3 prg=ctr",
+                   "skipped": "budget"}
+        STATE["scaling"].append(_compact(rec))
+        STATE.setdefault("scaling_fat", []).append(rec)
+        emit_state()
 
 
 if __name__ == "__main__":
