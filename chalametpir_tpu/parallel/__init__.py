@@ -1,4 +1,7 @@
-"""Multi-chip scaling: device meshes, sharded respond and setup."""
+"""Multi-chip scaling: device meshes, sharded respond and setup.
+
+Multi-host (multi-process) serving lives in `.multihost` (imported
+lazily — joining the multi-controller runtime is an explicit act)."""
 
 from .sharding import (
     build_sharded_pallas_db,

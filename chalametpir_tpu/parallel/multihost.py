@@ -1,0 +1,93 @@
+"""Multi-host (multi-process) serving scaffold.
+
+The single-process mesh path (`parallel.sharding`) shards the encoded DB
+over the chips one process controls. JAX's multi-controller runtime
+extends the exact same program across hosts: every process runs the same
+code, `jax.distributed.initialize` wires the coordination service, and
+the `Mesh` simply spans all processes' devices — the `psum`s in the hint
+and respond kernels then ride ICI within a host and DCN across hosts,
+with XLA choosing the collective implementation. The reference has no
+multi-node story at all (SURVEY.md section 2: rayon threads + one Vulkan
+device), so this subsystem is exceed-parity.
+
+Deployment modes:
+
+* **TPU pod slice** — every worker calls `initialize()` with no
+  arguments (the TPU runtime autodetects coordinator/topology), then
+  builds `mesh = make_multihost_mesh(model=jax.device_count())` and runs
+  `Server.setup(..., mesh=mesh)` with identical inputs on every worker.
+* **CPU scaffold (tested here)** — N processes with virtual CPU devices
+  and explicit coordinator/process ids; cross-process collectives run on
+  gloo. `tests/test_multihost.py` drives the full setup+respond protocol
+  over two processes this way, which is exactly the program a pod would
+  run (only the collective transport differs).
+
+Determinism contract (same as any SPMD jax program): every process must
+call `Server.setup` with byte-identical inputs (db, seed, arity, rng
+state) — the encode/filter retry loop must take the same path on every
+host. Query bytes originate on one host; `broadcast_query` ships them to
+the others before the collective respond.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sharding import make_mesh
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join the multi-controller runtime. On TPU pods call with no
+    arguments (autodetected); on CPU/GPU clusters pass the coordinator
+    host:port and this process's id. Idempotent per process."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(model: int | None = None, data: int = 1):
+    """(data, model) mesh over the GLOBAL device set. The default shards
+    the DB's fingerprint dimension over every chip of every host
+    (data=1): respond psums cross hosts, which is the hard part this
+    scaffold exists to prove; a data axis >1 additionally splits query
+    batches, but its output gather is host-local only when each data
+    group stays within one process."""
+    import jax
+
+    return make_mesh(jax.devices(), data=data, model=model)
+
+
+def broadcast_query(query_bytes: bytes | None, max_len: int = 1 << 26) -> bytes:
+    """Ship one host's serialized query to every process (the client talks
+    TCP to ONE host; the collective respond needs the bytes everywhere).
+    Non-source processes pass None. Uses the jax multihost broadcast
+    (gloo/DCN), so no extra transport is needed."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return query_bytes
+    if query_bytes is not None:
+        buf = np.frombuffer(query_bytes, np.uint8)
+        payload = np.concatenate(
+            [np.array([buf.size], np.int64).view(np.uint8), buf]
+        )
+        if payload.size > max_len:
+            raise ValueError("query exceeds broadcast buffer")
+        payload = np.pad(payload, (0, max_len - payload.size))
+    else:
+        payload = np.zeros(max_len, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(payload)
+    n = int(np.asarray(out[:8]).view(np.int64)[0])
+    return np.asarray(out[8 : 8 + n]).tobytes()

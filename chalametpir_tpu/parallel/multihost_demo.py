@@ -1,0 +1,136 @@
+"""Two-process (multi-host) PIR demo: sharded setup + collective respond.
+
+Runs the full protocol with the encoded DB sharded across the devices of
+MULTIPLE processes — the hint and respond reductions cross the process
+boundary as real collectives (gloo on the CPU scaffold, ICI/DCN on a TPU
+pod). Every process executes this same script (SPMD); the client lives on
+process 0 and its query is broadcast before the collective respond.
+
+CPU scaffold (what tests/test_multihost.py drives):
+
+    python -m chalametpir_tpu.parallel.multihost_demo --launch 2
+
+spawns 2 child processes x 4 virtual CPU devices = an 8-device global
+mesh split across processes. A TPU pod runs the same flow with
+`--process-id/--coordinator` omitted (autodetected) and no --cpu flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+
+def _parse():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--launch", type=int, default=0, metavar="N",
+                    help="launcher mode: spawn N worker processes and wait")
+    ap.add_argument("--coordinator", default="127.0.0.1:29811")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--cpu-devices", type=int, default=4,
+                    help="virtual CPU devices per process (0 = real backend)")
+    ap.add_argument("--entries", type=int, default=300)
+    return ap.parse_args()
+
+
+def launch(args) -> int:
+    """Spawn the workers and mirror their output; exit code is nonzero if
+    any worker fails."""
+    procs = []
+    for pid in range(args.launch):
+        cmd = [
+            sys.executable, "-m", "chalametpir_tpu.parallel.multihost_demo",
+            "--coordinator", args.coordinator,
+            "--num-processes", str(args.launch),
+            "--process-id", str(pid),
+            "--cpu-devices", str(args.cpu_devices),
+            "--entries", str(args.entries),
+        ]
+        procs.append(subprocess.Popen(cmd))
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
+
+
+def worker(args) -> None:
+    if args.cpu_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+            ).strip()
+    import jax
+
+    if args.cpu_devices:
+        # this environment's sitecustomize force-registers a TPU plugin, so
+        # the env var alone is not enough (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
+    from . import multihost
+
+    multihost.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    pid = jax.process_index()
+    print(f"[p{pid}] joined: {len(jax.local_devices())} local / "
+          f"{len(jax.devices())} global devices", flush=True)
+
+    import numpy as np
+
+    from ..models.client import Client
+    from ..models.server import Server
+    from ..utils import generate_random_kv_database
+
+    # identical inputs on every process (SPMD determinism contract)
+    rng = np.random.default_rng(0xD157)
+    db = generate_random_kv_database(args.entries, rng=rng,
+                                     value_byte_len=(1, 64))
+    seed = bytes(range(32))
+    mesh = multihost.make_multihost_mesh(model=len(jax.devices()))
+    server, hint, fparams = Server.setup(
+        seed, db, arity=3, mesh=mesh, prg_mode="ctr",
+        rng=np.random.default_rng(1),
+    )
+    print(f"[p{pid}] sharded setup done (m={server.num_query_cols})", flush=True)
+
+    from ..errors import ArithmeticOverflowAddingQueryIndicator
+
+    key = sorted(db)[len(db) // 2]
+    if pid == 0:
+        client = Client.setup(seed, hint, fparams, prg_mode="ctr", device=False)
+        while True:
+            try:
+                q_bytes = client.query(key)
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                continue
+    else:
+        client, q_bytes = None, None
+
+    # wire length is deterministic on every process: 8-byte header + m u32
+    wire_len = 8 + 8 + 4 * server.num_query_cols
+    q_bytes = multihost.broadcast_query(q_bytes, max_len=wire_len)
+    resp = server.respond(q_bytes)  # collective: psum crosses processes
+
+    if pid == 0:
+        value = client.process_response(key, resp)
+        assert value == db[key], "multihost retrieval mismatch"
+        print("MULTIHOST OK", flush=True)
+    print(f"[p{pid}] done", flush=True)
+
+
+def main() -> None:
+    args = _parse()
+    if args.launch:
+        sys.exit(launch(args))
+    worker(args)
+
+
+if __name__ == "__main__":
+    main()
