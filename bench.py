@@ -59,7 +59,7 @@ LOG_N = int(os.environ.get("PIR_BENCH_LOG_N", "20"))
 ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
 VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
 BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
-BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "600"))
+BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "780"))
 RUN_MATRIX = os.environ.get("PIR_BENCH_MATRIX", "1") not in ("0", "")
 RUN_STREAM = os.environ.get("PIR_BENCH_STREAM", "1") not in ("0", "")
 RUN_CHECK_TPU = os.environ.get("PIR_BENCH_CHECK_TPU", "1") not in ("0", "")
@@ -841,7 +841,7 @@ def main() -> None:
 
     # 4. compiled-kernel tier on hardware, surfaced in the artifact
     if RUN_CHECK_TPU and LOG_N >= 20:
-        if left() > 200:
+        if left() > 150:
             t0 = time.perf_counter()
             try:
                 STATE["check_tpu"] = run_check_tpu()
@@ -853,11 +853,12 @@ def main() -> None:
             STATE["check_tpu"] = "skip (budget)"
         emit_state()
 
-    # 5. the divan small-config matrix + the stream-mode (interop) rows,
-    #    ordered so each DB size is built once (the cache holds one DB)
+    # 5. the divan small-config matrix + the stream-mode (interop) rows.
+    #    Stream rows come BEFORE the arity-4 rows (they are the higher-
+    #    priority artifact gap) and ride the same cached DB as their ctr
+    #    sibling; the arity-4 rows rebuild their DB (~10-20 s) if needed.
     if RUN_MATRIX:
         run_stage(16, 3, "ctr", need=25, batch=16)
-        run_stage(16, 4, "ctr", need=25, batch=16)
         if RUN_STREAM:
             # reference-interop mode: A is a serial host XOF squeeze that
             # must ship over the link (matrix.rs:541-558); host client
@@ -865,10 +866,11 @@ def main() -> None:
             run_stage(16, 3, "stream", need=0.6 / h2d + 40, batch=16,
                       client_device=False)
         run_stage(18, 3, "ctr", need=45, batch=16)
-        run_stage(18, 4, "ctr", need=45, batch=16)
         if RUN_STREAM:
             run_stage(18, 3, "stream", need=2.5 / h2d + 60, batch=16,
                       client_device=False)
+        run_stage(16, 4, "ctr", need=35, batch=16)
+        run_stage(18, 4, "ctr", need=55, batch=16)
 
     # 6. real-setup scaling anchor above 2^20 (single chip)
     scale_default = "21" if LOG_N >= 20 else "0"
