@@ -74,4 +74,9 @@ def test_bench_emits_valid_json_lines():
     for line in lines:
         rec = json.loads(line)
         assert rec["metric"] == "server_respond_db_scan_GBps"
-    assert json.loads(lines[-1])["value"] is not None
+        # the driver parses a ~2 KB output tail: every line must fit it
+        # with room to spare (the round-3 artifact died to this)
+        assert len(line) <= 1900, f"bench line too long ({len(line)} B)"
+    final = json.loads(lines[-1])
+    assert final["value"] is not None
+    assert final["rows"], "final record must carry the per-config rows"
