@@ -440,18 +440,35 @@ def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
     return rec
 
 
-def _link_floor_ms(h2d_bytes: int, d2h_bytes: int) -> float | None:
-    """Measured link floor for one device call that uploads h2d_bytes and
-    reads back d2h_bytes: the tiny-transfer round-trip constant plus the
-    payload time at the measured directional rates."""
-    if RTT_MS is None:
+def _link_floor_ms(h2d_bytes: int, d2h_bytes: int, reps: int = 5) -> float | None:
+    """DIRECTLY measured link cost of one device call that uploads
+    h2d_bytes and reads back d2h_bytes: a same-moment round trip with the
+    exact payload sizes (random bytes — the tunnel compresses), median of
+    `reps`. Measured adjacent to the row it attributes, so the tunnel's
+    minute-scale rate drift cannot put the floor above the row (the
+    round-3 probe-based floors were up to 3x off for exactly that
+    reason)."""
+    import jax
+
+    try:
+        rng = np.random.default_rng(0x11A8)
+        up = rng.integers(0, 256, size=max(h2d_bytes, 8), dtype=np.uint8)
+        down_host = rng.integers(0, 256, size=max(d2h_bytes, 8), dtype=np.uint8)
+        down = jax.device_put(down_host)
+        np.asarray(down)  # ensure resident + queue drained
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            d = jax.device_put(up)  # upload leg (not force-drained: the
+            # real call serializes upload -> kernel -> readback, so timing
+            # just the pair is a LOWER bound if the directions overlap)
+            np.asarray(down)  # readback leg
+            times.append(time.perf_counter() - t0)
+            del d
+        return round(float(np.median(times)) * 1e3, 1)
+    except Exception as e:
+        log(f"link floor measure failed: {e!r}")
         return None
-    ms = RTT_MS
-    if h2d_bytes and H2D_RATE:
-        ms += h2d_bytes / 1e9 / H2D_RATE * 1e3
-    if d2h_bytes and D2H_RATE:
-        ms += d2h_bytes / 1e9 / D2H_RATE * 1e3
-    return round(ms, 1)
 
 
 def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
@@ -780,6 +797,18 @@ def main() -> None:
     res["tunnel_h2d_GBps"] = H2D_RATE
     res["tunnel_d2h_GBps"] = D2H_RATE
     res["tunnel_rtt_ms"] = RTT_MS
+    # device acquisition through the tunnel can stall for minutes when a
+    # prior process just released it (observed: 240-380 s). That stall is
+    # environmental, not work — restart the budget clock after init so a
+    # stalled run measures the same stages as a clean one (recorded for
+    # transparency; every printed line is already a complete artifact, so
+    # a late harness kill only costs detail).
+    global T_START
+    stall = time.perf_counter() - T_START
+    if stall > 90:
+        log(f"device init took {stall:.0f}s; restarting budget clock")
+        res["init_stall_s"] = round(stall, 1)
+        T_START = time.perf_counter()
 
     def on_partial(idx):
         def emit(rec):
