@@ -442,11 +442,15 @@ def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
 
 def _link_floor_ms(h2d_bytes: int, d2h_bytes: int, reps: int = 5) -> float | None:
     """DIRECTLY measured link cost of one device call that uploads
-    h2d_bytes and reads back d2h_bytes: a same-moment round trip with the
-    exact payload sizes (random bytes — the tunnel compresses), median of
-    `reps`. Measured adjacent to the row it attributes, so the tunnel's
-    minute-scale rate drift cannot put the floor above the row (the
-    round-3 probe-based floors were up to 3x off for exactly that
+    h2d_bytes and reads back d2h_bytes, mirroring the real call's
+    upload -> kernel -> readback serialization: a trivial device kernel
+    makes the readback DEPEND on the upload, and its output is
+    device-produced (a plain device_put'd array can be served from a
+    cached host copy with no round trip at all — measured 0.6 ms for a
+    "4.7 MB" readback). Median of `reps`, random payloads (the tunnel
+    compresses), measured adjacent to the row it attributes so the
+    tunnel's minute-scale rate drift cannot put the floor above the row
+    (the round-3 probe-based floors were up to 3x off for exactly that
     reason)."""
     import jax
 
@@ -455,20 +459,33 @@ def _link_floor_ms(h2d_bytes: int, d2h_bytes: int, reps: int = 5) -> float | Non
         up = rng.integers(0, 256, size=max(h2d_bytes, 8), dtype=np.uint8)
         down_host = rng.integers(0, 256, size=max(d2h_bytes, 8), dtype=np.uint8)
         down = jax.device_put(down_host)
-        np.asarray(down)  # ensure resident + queue drained
+        link = _jit_link_kernel()
+        np.asarray(link(jax.device_put(up), down))  # compile + warm
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            d = jax.device_put(up)  # upload leg (not force-drained: the
-            # real call serializes upload -> kernel -> readback, so timing
-            # just the pair is a LOWER bound if the directions overlap)
-            np.asarray(down)  # readback leg
+            out = link(jax.device_put(up), down)
+            np.asarray(out)
             times.append(time.perf_counter() - t0)
-            del d
         return round(float(np.median(times)) * 1e3, 1)
     except Exception as e:
         log(f"link floor measure failed: {e!r}")
         return None
+
+
+_LINK_KERNEL = []
+
+
+def _jit_link_kernel():
+    if not _LINK_KERNEL:
+        import jax
+
+        @jax.jit
+        def link(u, dwn):
+            return dwn ^ u[0]  # output depends on the upload; one VPU op
+
+        _LINK_KERNEL.append(link)
+    return _LINK_KERNEL[0]
 
 
 def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
@@ -905,6 +922,21 @@ def main() -> None:
     scale_default = "21" if LOG_N >= 20 else "0"
     scale_log_n = int(os.environ.get("PIR_BENCH_SCALING_LOG_N", scale_default))
     if scale_log_n:
+        # the gate prices a ~2.5 GB upload: re-probe the link NOW (the
+        # startup rate can be minutes stale and 3x off either way)
+        try:
+            probe = np.random.default_rng(9).integers(
+                0, 256, size=8 << 20, dtype=np.uint8
+            )
+            link = _jit_link_kernel()
+            dwn = jax.device_put(probe[:8])
+            np.asarray(link(jax.device_put(probe), dwn))  # compile + warm
+            t0 = time.perf_counter()
+            np.asarray(link(jax.device_put(probe), dwn))
+            h2d = max(probe.nbytes / 1e9 / (time.perf_counter() - t0), 1e-4)
+            log(f"scaling gate: fresh h2d ~{h2d:.4f} GB/s")
+        except Exception:
+            pass
         scale_need = 60 + (2.5 * (1 << scale_log_n) / (1 << 21)) / h2d
         if left() > scale_need:
             try:
