@@ -440,37 +440,53 @@ def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
     return rec
 
 
-def _link_floor_ms(h2d_bytes: int, d2h_bytes: int, reps: int = 5) -> float | None:
-    """DIRECTLY measured link cost of one device call that uploads
-    h2d_bytes and reads back d2h_bytes, mirroring the real call's
-    upload -> kernel -> readback serialization: a trivial device kernel
-    makes the readback DEPEND on the upload, and its output is
-    device-produced (a plain device_put'd array can be served from a
-    cached host copy with no round trip at all — measured 0.6 ms for a
-    "4.7 MB" readback). Median of `reps`, random payloads (the tunnel
-    compresses), measured adjacent to the row it attributes so the
-    tunnel's minute-scale rate drift cannot put the floor above the row
-    (the round-3 probe-based floors were up to 3x off for exactly that
-    reason)."""
+def _link_floor_sampler(h2d_bytes: int, d2h_bytes: int):
+    """Returns once() -> seconds: the DIRECTLY measured link cost of one
+    device call that uploads h2d_bytes and reads back d2h_bytes,
+    mirroring the real call's upload -> kernel -> readback serialization.
+    A trivial device kernel makes the readback DEPEND on the upload, and
+    its output is device-produced (a plain device_put'd array can be
+    served from a cached host copy with no round trip at all — measured
+    0.6 ms for a "4.7 MB" readback). Construction compiles + warms, so
+    once() measures only transfers. Callers interleave once() with the
+    calls it attributes — same weather window, so the tunnel's drift (3x
+    on minute scales, the round-3 probe-floor failure; still ~1.3x on
+    second scales) cannot systematically put the floor above the row."""
     import jax
 
+    rng = np.random.default_rng(0x11A8)
+    up = rng.integers(0, 256, size=max(h2d_bytes, 8), dtype=np.uint8)
+    down_host = rng.integers(0, 256, size=max(d2h_bytes, 8), dtype=np.uint8)
+    down = jax.device_put(down_host)
+    link = _jit_link_kernel()
+    np.asarray(link(jax.device_put(up), down))  # compile + warm
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        np.asarray(link(jax.device_put(up), down))
+        return time.perf_counter() - t0
+
+    return once
+
+
+def _interleaved_medians_ms(fn, h2d_bytes, d2h_bytes, reps=5):
+    """(median fn ms, median link-floor ms), the two sampled alternately
+    so both see the same link weather. Floor measurement failures degrade
+    to (fn median, None)."""
     try:
-        rng = np.random.default_rng(0x11A8)
-        up = rng.integers(0, 256, size=max(h2d_bytes, 8), dtype=np.uint8)
-        down_host = rng.integers(0, 256, size=max(d2h_bytes, 8), dtype=np.uint8)
-        down = jax.device_put(down_host)
-        link = _jit_link_kernel()
-        np.asarray(link(jax.device_put(up), down))  # compile + warm
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = link(jax.device_put(up), down)
-            np.asarray(out)
-            times.append(time.perf_counter() - t0)
-        return round(float(np.median(times)) * 1e3, 1)
+        floor_once = _link_floor_sampler(h2d_bytes, d2h_bytes)
     except Exception as e:
-        log(f"link floor measure failed: {e!r}")
-        return None
+        log(f"link floor sampler failed: {e!r}")
+        floor_once = None
+    t_fn, t_floor = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        t_fn.append(time.perf_counter() - t0)
+        if floor_once is not None:
+            t_floor.append(floor_once())
+    floor_ms = round(float(np.median(t_floor)) * 1e3, 1) if t_floor else None
+    return round(float(np.median(t_fn)) * 1e3, 2), floor_ms
 
 
 _LINK_KERNEL = []
@@ -533,19 +549,27 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
         queries_bytes.append(_query_retry(client.query, key))
         times.append(time.perf_counter() - t0)
     rec["client_query_ms"] = round(float(np.median(times)) * 1e3, 3)
-    # inline query (the reference's lazy order): warm 1, median of 5
-    _query_retry(client.query_inline, keys[9])
-    times = []
-    for key in keys[10:15]:
-        t0 = time.perf_counter()
-        _query_retry(client.query_inline, key)
-        times.append(time.perf_counter() - t0)
-    rec["client_query_inline_ms"] = round(float(np.median(times)) * 1e3, 2)
+    # inline query (the reference's lazy order): warm 1, median of 5. On a
+    # device client it is link-bound here, so the link floor (tiny signs
+    # upload + (m,) uint32 query readback — everything else is host math)
+    # is sampled INTERLEAVED with the queries: same weather window.
     m = server.num_query_cols
+    _query_retry(client.query_inline, keys[9])
+    key_iter = iter(keys[10:15])
     if client.uses_device:
-        # the inline query's device leg: tiny signs upload, (m,) uint32
-        # query vector readback — everything else is host-side math
-        rec["client_query_inline_link_ms"] = _link_floor_ms(0, 4 * m)
+        qi_ms, ql_ms = _interleaved_medians_ms(
+            lambda: _query_retry(client.query_inline, next(key_iter)), 0, 4 * m
+        )
+        rec["client_query_inline_ms"] = qi_ms
+        if ql_ms is not None:
+            rec["client_query_inline_link_ms"] = ql_ms
+    else:
+        times = []
+        for key in key_iter:
+            t0 = time.perf_counter()
+            _query_retry(client.query_inline, key)
+            times.append(time.perf_counter() - t0)
+        rec["client_query_inline_ms"] = round(float(np.median(times)) * 1e3, 2)
     log(
         f"2^{log_n} a{arity}: client_query {rec['client_query_ms']} ms online "
         f"(pool), {rec['client_query_inline_ms']} ms inline "
@@ -554,19 +578,24 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
     )
 
     # end-to-end serialized respond (includes tunnel transfers both ways):
-    # warm 1, median of 5
+    # warm 1, median of 5, link floor sampled interleaved
+    # (e2e = (m,) uint32 query h2d + scan + (cols,) uint32 response d2h)
     response_bytes = server.respond(queries_bytes[0])
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        response_bytes = server.respond(queries_bytes[0])
-        times.append(time.perf_counter() - t0)
-    rec["server_respond_e2e_ms"] = round(float(np.median(times)) * 1e3, 2)
     if server._backend == "jax":
-        # e2e = (m,) uint32 query h2d + scan + (cols,) uint32 response d2h
-        rec["server_respond_e2e_link_ms"] = _link_floor_ms(
-            4 * m, 4 * server.num_response_cols
+        e2_ms, el_ms = _interleaved_medians_ms(
+            lambda: server.respond(queries_bytes[0]),
+            4 * m, 4 * server.num_response_cols,
         )
+        rec["server_respond_e2e_ms"] = e2_ms
+        if el_ms is not None:
+            rec["server_respond_e2e_link_ms"] = el_ms
+    else:
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            server.respond(queries_bytes[0])
+            times.append(time.perf_counter() - t0)
+        rec["server_respond_e2e_ms"] = round(float(np.median(times)) * 1e3, 2)
 
     # process_response: warm 1, median of 32 (pending state restored via
     # the reference's own bench hooks, client.rs:60-71)
