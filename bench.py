@@ -38,7 +38,8 @@ Env knobs:
   PIR_BENCH_VALUE_LEN  value bytes (default 1024)
   PIR_BENCH_BATCH      batched-respond size (default 64)
   PIR_BENCH_BUDGET_S   wall budget; stages are skipped when the remaining
-                       budget cannot fit them (default 600)
+                       budget cannot fit them (default 780; the clock
+                       restarts after a long device-acquisition stall)
   PIR_BENCH_MATRIX     "0" disables the small-config matrix
   PIR_BENCH_STREAM     "0" disables the stream-mode (interop) rows
   PIR_BENCH_CHECK_TPU  "0" disables the in-process compiled-kernel tier
@@ -795,6 +796,12 @@ def _probe_link():
         float(jnp.max(warm.astype(jnp.int32)))  # device init + queue drain
         del warm
         # round-trip constant: tiny payload, median of 5
+        # cache subtlety: np.asarray of a jax.Array is only a real link
+        # round trip on the FIRST fetch of that array object (later reads
+        # serve the cached host copy). Every probe below therefore reads
+        # each array object exactly once: the rtt loop device_puts a NEW
+        # tiny array per iteration, and the h2d/d2h probes fetch `d` for
+        # the first time.
         tiny = np.zeros(8, np.int8)
         rtts = []
         for _ in range(5):

@@ -515,11 +515,16 @@ class Client:
             arrays["pending_c"] = np.stack(
                 [pending[k].vec_c for k in pend_keys]
             )
-        # the archive holds LWE secret material: create it owner-only
-        # (0600) BEFORE any bytes land, and write through a file handle —
-        # np.savez(str) appends ".npz" to suffix-less paths, which load()
-        # would then fail to find
+        # the archive holds LWE secret material: owner-only (0600) BEFORE
+        # any bytes land. The os.open mode only applies on creation, so an
+        # archive that already exists with looser permissions is fchmod'd
+        # too. Write through a file handle — np.savez(str) appends ".npz"
+        # to suffix-less paths, which load() would then fail to find.
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        try:
+            os.fchmod(fd, 0o600)
+        except OSError:  # pragma: no cover - non-POSIX filesystems
+            pass
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **arrays)
 

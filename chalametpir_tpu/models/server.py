@@ -439,16 +439,23 @@ class Server:
                         hint_buf, block_dev, jnp.int32(r0),
                         db.lo, db.hi, bit_len, cols, db.tile_k, interpret,
                     )
+                # the hint readback is also the queue drain: it cannot
+                # complete until every dispatched A-block transfer has —
+                # its wall time belongs to the upload measurement (the
+                # per-block put timings above are dispatch-only)
+                t0 = _time.perf_counter()
                 hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
+                drain_s = _time.perf_counter() - t0
             server = cls("jax", db, m, cols, bit_len, "packed")
             # stream mode ships the XOF-expanded A blocks AND the packed DB
             # planes over the host link — both measured, both attributed
             server.setup_stats = {
                 "upload_bytes": up_bytes + db.hbm_bytes,
-                # A-block puts + the DB pack/upload pass (host pack CPU time
-                # included: it time-shares the core with the transfer, so
-                # the sum is what the link path actually cost the setup)
-                "upload_s": round(up_s + pack_upload_s, 3),
+                # A-block put dispatches + final drain + the DB pack/upload
+                # pass (host pack CPU time included: it time-shares the
+                # core with the transfer, so the sum is what the link path
+                # actually cost the setup)
+                "upload_s": round(up_s + drain_s + pack_upload_s, 3),
                 "a_upload_bytes": up_bytes,
             }
             return server, hint

@@ -46,6 +46,9 @@ def initialize(
     host:port and this process's id. Idempotent per process."""
     import jax
 
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -53,7 +56,13 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # older jax has no is_initialized(); honor the idempotency
+        # contract by tolerating a second call
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_multihost_mesh(model: int | None = None, data: int = 1):
@@ -72,22 +81,29 @@ def broadcast_query(query_bytes: bytes | None, max_len: int = 1 << 26) -> bytes:
     """Ship one host's serialized query to every process (the client talks
     TCP to ONE host; the collective respond needs the bytes everywhere).
     Non-source processes pass None. Uses the jax multihost broadcast
-    (gloo/DCN), so no extra transport is needed."""
+    (gloo/DCN), so no extra transport is needed.
+
+    An oversized query raises ValueError on EVERY process: the source
+    broadcasts a length of -1 instead of bailing before the collective —
+    raising pre-collective on one process would leave the peers blocked
+    inside broadcast_one_to_all until the distributed timeout."""
     import jax
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
+        if query_bytes is not None and len(query_bytes) + 8 > max_len:
+            raise ValueError("query exceeds broadcast buffer")
         return query_bytes
+    payload = np.zeros(max_len, np.uint8)
     if query_bytes is not None:
         buf = np.frombuffer(query_bytes, np.uint8)
-        payload = np.concatenate(
-            [np.array([buf.size], np.int64).view(np.uint8), buf]
-        )
-        if payload.size > max_len:
-            raise ValueError("query exceeds broadcast buffer")
-        payload = np.pad(payload, (0, max_len - payload.size))
-    else:
-        payload = np.zeros(max_len, np.uint8)
+        if buf.size + 8 > max_len:
+            payload[:8] = np.array([-1], np.int64).view(np.uint8)
+        else:
+            payload[:8] = np.array([buf.size], np.int64).view(np.uint8)
+            payload[8 : 8 + buf.size] = buf
     out = multihost_utils.broadcast_one_to_all(payload)
     n = int(np.asarray(out[:8]).view(np.int64)[0])
+    if n < 0:
+        raise ValueError("query exceeds broadcast buffer")
     return np.asarray(out[8 : 8 + n]).tobytes()

@@ -27,9 +27,13 @@ def _parse():
     ap = argparse.ArgumentParser()
     ap.add_argument("--launch", type=int, default=0, metavar="N",
                     help="launcher mode: spawn N worker processes and wait")
-    ap.add_argument("--coordinator", default="127.0.0.1:29811")
-    ap.add_argument("--num-processes", type=int, default=2)
+    # default None => jax.distributed autodetection (TPU pods); the CPU
+    # launcher always passes all three explicitly to its workers
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--timeout", type=float, default=240,
+                    help="launcher: seconds before the workers are killed")
     ap.add_argument("--cpu-devices", type=int, default=4,
                     help="virtual CPU devices per process (0 = real backend)")
     ap.add_argument("--entries", type=int, default=300)
@@ -37,22 +41,40 @@ def _parse():
 
 
 def launch(args) -> int:
-    """Spawn the workers and mirror their output; exit code is nonzero if
-    any worker fails."""
+    """Spawn the workers and wait, with a deadline; exit code is nonzero
+    if any worker fails. A worker that wedges (e.g. one peer died before
+    the collectives formed, the other blocks in gloo) is killed at the
+    deadline instead of hanging the launcher's caller forever."""
+    import time
+
+    coordinator = args.coordinator or "127.0.0.1:29811"
     procs = []
     for pid in range(args.launch):
         cmd = [
             sys.executable, "-m", "chalametpir_tpu.parallel.multihost_demo",
-            "--coordinator", args.coordinator,
+            "--coordinator", coordinator,
             "--num-processes", str(args.launch),
             "--process-id", str(pid),
             "--cpu-devices", str(args.cpu_devices),
             "--entries", str(args.entries),
         ]
         procs.append(subprocess.Popen(cmd))
+    deadline = time.monotonic() + args.timeout
     rc = 0
-    for p in procs:
-        rc |= p.wait()
+    try:
+        for p in procs:
+            remaining = max(0.1, deadline - time.monotonic())
+            try:
+                rc |= p.wait(timeout=remaining)
+            except subprocess.TimeoutExpired:
+                rc |= 124
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            if p.poll() is None:
+                p.wait()
     return rc
 
 

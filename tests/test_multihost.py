@@ -11,10 +11,13 @@ The reference has no multi-node capability at all (SURVEY.md section 2),
 so this is exceed-parity surface.
 """
 
+import os
+import signal
 import socket
 import subprocess
 import sys
 
+import pytest
 
 
 def _free_port() -> int:
@@ -24,16 +27,25 @@ def _free_port() -> int:
 
 
 def test_two_process_sharded_round_trip():
-    # bounded by the subprocess timeout below (pytest-timeout not installed)
     port = _free_port()
-    proc = subprocess.run(
+    # own session + process-group kill: the workers inherit the captured
+    # pipes, so killing only the launcher would leave communicate()
+    # blocked on a wedged grandchild holding the write end open
+    proc = subprocess.Popen(
         [
             sys.executable, "-m", "chalametpir_tpu.parallel.multihost_demo",
             "--launch", "2", "--coordinator", f"127.0.0.1:{port}",
-            "--entries", "300",
+            "--entries", "300", "--timeout", "220",
         ],
-        capture_output=True, text=True, timeout=280,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
     )
-    out = proc.stdout + proc.stderr
-    assert proc.returncode == 0, f"multihost demo failed:\n{out[-3000:]}"
-    assert "MULTIHOST OK" in out, f"no MULTIHOST OK in output:\n{out[-3000:]}"
+    try:
+        out, err = proc.communicate(timeout=260)
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        out, err = proc.communicate()
+        pytest.fail(f"multihost demo timed out:\n{(out + err)[-3000:]}")
+    combined = out + err
+    assert proc.returncode == 0, f"multihost demo failed:\n{combined[-3000:]}"
+    assert "MULTIHOST OK" in combined, f"no MULTIHOST OK in:\n{combined[-3000:]}"
