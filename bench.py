@@ -471,9 +471,11 @@ def _link_floor_sampler(h2d_bytes: int, d2h_bytes: int):
 
 
 def _interleaved_medians_ms(fn, h2d_bytes, d2h_bytes, reps=5):
-    """(median fn ms, median link-floor ms), the two sampled alternately
-    so both see the same link weather. Floor measurement failures degrade
-    to (fn median, None)."""
+    """(median fn ms, link-floor ms), the two sampled alternately so both
+    see the same link weather. The floor is the MIN of its samples — a
+    floor is a lower bound, and the min is the bound statistic (median
+    floors still inverted above the row median by ~5% of link noise).
+    Floor measurement failures degrade to (fn median, None)."""
     try:
         floor_once = _link_floor_sampler(h2d_bytes, d2h_bytes)
     except Exception as e:
@@ -486,7 +488,7 @@ def _interleaved_medians_ms(fn, h2d_bytes, d2h_bytes, reps=5):
         t_fn.append(time.perf_counter() - t0)
         if floor_once is not None:
             t_floor.append(floor_once())
-    floor_ms = round(float(np.median(t_floor)) * 1e3, 1) if t_floor else None
+    floor_ms = round(float(np.min(t_floor)) * 1e3, 1) if t_floor else None
     return round(float(np.median(t_fn)) * 1e3, 2), floor_ms
 
 
