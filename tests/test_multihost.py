@@ -20,6 +20,18 @@ import sys
 import pytest
 
 
+def test_broadcast_query_single_process_contract():
+    """The single-process fast path: bytes pass through unchanged and an
+    oversized query raises the same ValueError the multi-process sentinel
+    path raises on every peer."""
+    from chalametpir_tpu.parallel import multihost
+
+    payload = b"\x01\x02\x03" * 11
+    assert multihost.broadcast_query(payload, max_len=64) == payload
+    with pytest.raises(ValueError):
+        multihost.broadcast_query(b"x" * 57, max_len=64)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
