@@ -17,8 +17,10 @@ Compact row legend (full names in BENCH_FULL.json):
       the setup — from server.setup_stats, not a probe)
   rs  server_respond ms (single)     gb  respond scan GB/s (ref convention)
   bq  batched respond ms/query       q   pooled client_query ms
-  qi  inline client_query ms         ql  inline link floor ms (RTT + d2h)
-  e2  serialized respond e2e ms      el  e2e link floor ms (RTT + h2d + d2h)
+  qi  inline client_query ms         ql  inline link floor ms (measured
+      put+kernel+readback pair at the row's payload sizes, interleaved
+      with the qi samples; min of 5)
+  e2  serialized respond e2e ms      el  e2e link floor ms (same method)
   pr  process_response us (median-32)
 
 Timing notes for this environment: the device queue acks before
@@ -28,9 +30,11 @@ slope of k chained scans inside one jit (each iteration's query depends
 on the previous response, so XLA can neither hoist nor parallelise the
 scans) — constant overheads cancel exactly. The host<->device tunnel
 here moves ~0.03 GB/s (a tunnel artifact, not TPU DMA), which bounds
-setup's DB upload and the e2e serialized path; the link probes (h2d
-rate, d2h rate, round-trip constant) feed the fl/ql/el attribution
-fields.
+setup's DB upload and the e2e serialized path. Attribution fields are
+all measured, never modeled: fl from inside the setup pipeline
+(server.setup_stats), ql/el from link round trips interleaved with the
+rows they attribute; the startup probes (h2d/d2h rate, rtt) are
+recorded for context only.
 
 Env knobs:
   PIR_BENCH_LOG_N      log2 of headline DB entries (default 20)
