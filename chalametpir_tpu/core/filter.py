@@ -195,8 +195,9 @@ def construct_filter(
             mat_elem_bit_len=mat_elem_bit_len,
         )
         # map each peeled hash back to the original key index
+        # (hashes[order] IS `ordered` — no need to re-gather it)
         order = np.argsort(hashes)
-        pos_of_hash = np.searchsorted(hashes[order], reverse_order)
+        pos_of_hash = np.searchsorted(ordered, reverse_order)
         key_index = order[pos_of_hash]
         return filt, reverse_order, reverse_h, key_index
 

@@ -101,7 +101,7 @@ def mix256(hashed_keys: np.ndarray, seed: bytes) -> np.ndarray:
         for w in seed_words:
             acc = murmur64(acc + murmur64(hk[:, j] + w))
         total += acc
-    return total[0] if single else total
+    return total  # the single (1-D) case returned above
 
 
 def _mulhi64(h: np.ndarray, m: int) -> np.ndarray:
@@ -117,11 +117,9 @@ def hash_batch_3(hash_: np.ndarray, segment_length: int, segment_count_length: i
     (reference: binary_fuse_filter.rs:605-617). Works on scalars or arrays."""
     h = np.asarray(hash_, np.uint64)
     mask = np.uint64(segment_length - 1)
-    seg = np.uint64(segment_length)
     h0 = _mulhi64(h, segment_count_length).astype(np.uint32)
     h1 = (h0 + np.uint32(segment_length)) ^ ((h >> np.uint64(18)) & mask).astype(np.uint32)
     h2 = (h0 + np.uint32(2) * np.uint32(segment_length)) ^ (h & mask).astype(np.uint32)
-    del seg
     return h0, h1, h2
 
 

@@ -201,7 +201,6 @@ def turboshake128_batch(
     state = np.zeros((n, 25), dtype=np.uint64)
     state_bytes = state.view(np.uint8).reshape(n, 200)
     blocks = padded.reshape(n, nblocks, RATE)
-    active = np.ones(n, dtype=bool)
     for bi in range(nblocks):
         # sponges whose message (plus padding) already ended stop permuting
         active = bi < final_block

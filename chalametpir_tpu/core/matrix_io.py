@@ -92,7 +92,11 @@ def row_wise_decompress(mat: np.ndarray, mat_elem_bit_len: int, num_cols: int) -
     mask = np.uint32((1 << mat_elem_bit_len) - 1)
     rows, packed_cols = mat.shape
     if packed_cols != -(-num_cols // cf):
-        raise ImpossibleEncodedDBMatrixElementBitLength()
+        # a shape bug, not a bit-length problem: the packed column count
+        # doesn't correspond to the claimed logical width
+        from ..errors import InvalidNumberOfElementsInMatrix
+
+        raise InvalidNumberOfElementsInMatrix()
     out = np.empty((rows, packed_cols * cf), dtype=np.uint32)
     for i in range(cf):
         out[:, i::cf] = (mat >> np.uint32(stride * i)) & mask

@@ -135,4 +135,6 @@ class InvalidResponseVector(ChalametPIRError):
 
 class ImpossibleEncodedDBMatrixElementBitLength(ChalametPIRError):
     def __init__(self) -> None:
-        super().__init__("Encoded database matrix's element bit length mustn't ever exceed 16.")
+        super().__init__(
+            "Encoded database matrix's element bit length must be within [4, 14] bits."
+        )

@@ -448,7 +448,15 @@ class Client:
                 raise DecodedRowNotPrependedWithDigestOfKey()
             return out[32 : 32 + result].tobytes()
 
-        response = matrix_io.matrix_from_bytes(response_bytes)
+        # same error surface as the native path: ANY malformed frame is
+        # InvalidResponseVector (pending survives), never a bare
+        # deserialization error the caller wouldn't be catching
+        from ..errors import ChalametPIRError
+
+        try:
+            response = matrix_io.matrix_from_bytes(response_bytes)
+        except ChalametPIRError as e:
+            raise InvalidResponseVector() from e
         if response.shape[0] != 1 or response.shape[1] != pending.vec_c.shape[0]:
             raise InvalidResponseVector()
 

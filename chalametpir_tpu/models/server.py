@@ -109,6 +109,15 @@ class Server:
             raise EmptyKVDatabase()
         if len(seed) != SEED_BYTE_LEN:
             raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
+        if layout not in ("auto", "packed", "digit2"):
+            raise ValueError(f"unknown layout {layout!r} (auto/packed/digit2)")
+        # 0-byte values encode fine but are PERMANENTLY unretrievable: the
+        # row codec requires the 0x81 boundary marker strictly after the
+        # 32-byte digest (serialization.rs:164-183 and our codec alike),
+        # so an empty value always decodes as RowNotDecodable. Surface the
+        # data loss at setup instead of at every future query.
+        if any(len(v) == 0 for v in db.values()):
+            raise ValueError("0-byte values are not encodable by the row codec")
         backend = _resolve_backend(backend)
 
         from ..utils import telemetry

@@ -20,8 +20,25 @@ _STAMP = _SO + ".src.sha256"
 
 
 def _src_digest() -> str:
+    """Hash of the source AND the machine: the engine is compiled with
+    -march=native, so a binary that is source-fresh on one CPU can SIGILL
+    on another (e.g. an archive extracted onto an older x86 host) — the
+    stamp must invalidate across machines, not just edits."""
+    h = hashlib.sha256()
     with open(os.path.join(_DIR, "engine.cpp"), "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+        h.update(f.read())
+    import platform
+
+    h.update(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
+    return h.hexdigest()
 
 
 def _stamp_ok() -> bool:
@@ -35,13 +52,23 @@ def _stamp_ok() -> bool:
 
 
 def _build() -> None:
-    subprocess.run(
-        ["make", "-s", "-C", _DIR, "libchalametpir_native.so"],
-        check=True,
-        capture_output=True,
-    )
-    with open(_STAMP, "w") as f:
-        f.write(_src_digest())
+    """Serialized under an flock: two processes first-importing on a
+    fresh checkout must not run two `make`s onto the same output (the
+    Makefile's tmp+rename makes the final install atomic; the lock keeps
+    the compilations themselves from duplicating work)."""
+    import fcntl
+
+    with open(os.path.join(_DIR, ".build.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if os.path.exists(_SO) and _stamp_ok():
+            return  # the other process built it while we waited
+        subprocess.run(
+            ["make", "-s", "-C", _DIR, "libchalametpir_native.so"],
+            check=True,
+            capture_output=True,
+        )
+        with open(_STAMP, "w") as f:
+            f.write(_src_digest())
 
 
 if not os.path.exists(_SO) or not _stamp_ok():

@@ -9,7 +9,10 @@ import argparse
 import asyncio
 import sys
 
-from ..errors import ArithmeticOverflowAddingQueryIndicator
+from ..errors import (
+    ArithmeticOverflowAddingQueryIndicator,
+    PendingQueryExistsForKey,
+)
 from ..models.client import Client
 from ..params import SEED_BYTE_LEN
 from .framing import read_frame, write_frame
@@ -40,6 +43,16 @@ async def fetch(
                 break
             except ArithmeticOverflowAddingQueryIndicator:
                 continue
+            except PendingQueryExistsForKey as exc:
+                # a repeated key, or a key whose earlier malformed
+                # response kept its pending entry: report per-key instead
+                # of aborting the remaining fetches
+                print(f"Skipping {key!r}: {exc}", file=sys.stderr)
+                query = None
+                break
+        if query is None:
+            results.setdefault(key, None)
+            continue
         write_frame(writer, query)
         await writer.drain()
         response = await read_frame(reader, max_response_frame)

@@ -305,3 +305,54 @@ def test_malformed_wire_inputs_raise_protocol_errors(rng):
             Client.setup(seed, hint, bad_fp, device=False)
     with _pytest.raises((ChalametPIRError, ValueError)):
         Client.setup(b"short", hint, fparams, device=False)
+
+
+def test_setup_rejects_unencodable_inputs(rng):
+    """Input-validation contracts: 0-byte values would be permanently
+    unretrievable (the row codec needs the 0x81 marker strictly after the
+    32-byte digest, serialization.rs:164-183), and a typo'd layout must
+    not silently fall through to the digit2 planes."""
+    import pytest as _pytest
+
+    from chalametpir_tpu import Server
+
+    seed = rng.bytes(32)
+    db = {b"a-key": b"value", b"empty": b""}
+    with _pytest.raises(ValueError, match="0-byte"):
+        Server.setup(seed, db, rng=rng)
+    with _pytest.raises(ValueError, match="layout"):
+        Server.setup(seed, {b"k": b"v"}, layout="Packed", rng=rng)
+
+
+def test_malformed_response_error_type_matches_native(rng):
+    """The numpy fallback must raise the same InvalidResponseVector the
+    native path raises for an undecodable frame — callers implementing
+    the pending-survives-retry contract catch that one type."""
+    import pytest as _pytest
+
+    import chalametpir_tpu.models.client as client_mod
+    from chalametpir_tpu import Client, Server
+    from chalametpir_tpu.errors import InvalidResponseVector
+    from chalametpir_tpu.utils import generate_random_kv_database
+
+    db = generate_random_kv_database(120, rng=rng, value_byte_len=(4, 32))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    key = next(iter(db))
+    while True:
+        try:
+            query = client.query(key)
+            break
+        except ArithmeticOverflowAddingQueryIndicator:
+            continue
+    garbage = b"\x01\x02"
+    for native in (client_mod._native, None):
+        orig, client_mod._native = client_mod._native, native
+        try:
+            with _pytest.raises(InvalidResponseVector):
+                client.process_response(key, garbage)
+        finally:
+            client_mod._native = orig
+    # pending survived both attempts: the genuine response still decodes
+    assert client.process_response(key, server.respond(query)) == db[key]
