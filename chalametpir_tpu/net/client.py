@@ -18,6 +18,21 @@ from ..params import SEED_BYTE_LEN
 from .framing import read_frame, write_frame
 
 
+def _query_or_none(client: Client, key: bytes) -> bytes | None:
+    """One key's query with the overflow retry; a PendingQueryExistsForKey
+    (repeated key, or a key whose earlier malformed response kept its
+    pending entry) is reported per-key instead of aborting the whole
+    fetch."""
+    while True:
+        try:
+            return client.query(key)
+        except ArithmeticOverflowAddingQueryIndicator:
+            continue
+        except PendingQueryExistsForKey as exc:
+            print(f"Skipping {key!r}: {exc}", file=sys.stderr)
+            return None
+
+
 async def fetch(
     host: str, port: int, keys: list[bytes], prg_mode: str = "stream", device="auto"
 ) -> dict[bytes, bytes | None]:
@@ -37,19 +52,7 @@ async def fetch(
     max_response_frame = client._hint_mat_m.shape[1] * 4 + 64
     results: dict[bytes, bytes | None] = {}
     for key in keys:
-        while True:
-            try:
-                query = client.query(key)
-                break
-            except ArithmeticOverflowAddingQueryIndicator:
-                continue
-            except PendingQueryExistsForKey as exc:
-                # a repeated key, or a key whose earlier malformed
-                # response kept its pending entry: report per-key instead
-                # of aborting the remaining fetches
-                print(f"Skipping {key!r}: {exc}", file=sys.stderr)
-                query = None
-                break
+        query = _query_or_none(client, key)
         if query is None:
             results.setdefault(key, None)
             continue

@@ -174,3 +174,26 @@ def test_server_survives_hostile_frames(rng):
             return await fetch("127.0.0.1", port, [b"apple"])
 
     assert asyncio.run(run())[b"apple"] == b"red"
+
+
+def test_fetch_query_helper_reports_pending_conflicts_per_key(rng):
+    """A key whose pending entry survived (e.g. after a malformed
+    response) must not abort the remaining fetches: the query helper
+    returns None for it and real keys keep working."""
+    from chalametpir_tpu import Client, Server
+    from chalametpir_tpu.net.client import _query_or_none
+    from chalametpir_tpu.utils import generate_random_kv_database
+
+    db = generate_random_kv_database(100, rng=rng, value_byte_len=(4, 32))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    k1, k2 = list(db)[:2]
+    q1 = _query_or_none(client, k1)
+    assert q1 is not None
+    # k1 now has a pending entry (no response processed yet): a repeat
+    # request reports None instead of raising out of the fetch loop
+    assert _query_or_none(client, k1) is None
+    q2 = _query_or_none(client, k2)
+    assert client.process_response(k2, server.respond(q2)) == db[k2]
+    assert client.process_response(k1, server.respond(q1)) == db[k1]
