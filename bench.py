@@ -49,6 +49,9 @@ Env knobs:
   PIR_BENCH_CHECK_TPU  "0" disables the in-process compiled-kernel tier
   PIR_BENCH_PRG        headline PRG mode: "ctr" (default) or "stream"
   PIR_BENCH_SCALING_LOG_N  real-setup scaling size (default 21; 0 off)
+  PIR_BENCH_PROFILE    directory: capture a jax profiler trace (XLA/TPU
+                       kernel timeline, TensorBoard-loadable) around the
+                       headline respond measurement
 """
 
 from __future__ import annotations
@@ -404,8 +407,18 @@ def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
     q_rng = np.random.default_rng(0xD15C)
     queries = q_rng.integers(0, 1 << 32, size=(1, server.num_query_cols), dtype=np.uint32)
     if server._backend == "jax":
+        import contextlib
+
+        from chalametpir_tpu.utils import telemetry
+
+        profile_dir = os.environ.get("PIR_BENCH_PROFILE", "")
+        prof = (
+            telemetry.profile_to(profile_dir) if profile_dir
+            else contextlib.nullcontext()
+        )
         scan_seconds = make_respond_chain(server)
-        t_respond = scan_seconds(queries, 1)
+        with prof:
+            t_respond = scan_seconds(queries, 1)
         batch = batch or BATCH
         t_respond_batch_per_q = scan_seconds(queries, batch) / batch
     else:
