@@ -55,11 +55,23 @@ def trace_event(name: str, **fields) -> None:
 
 @contextlib.contextmanager
 def profile_to(logdir: str):
-    """JAX profiler trace around a block (TPU kernel timeline)."""
+    """JAX profiler trace around a block (TPU kernel timeline,
+    TensorBoard-loadable). Non-fatal: a backend that cannot trace logs
+    the failure and runs the block unprofiled rather than killing the
+    measurement it wraps."""
     import jax
 
-    jax.profiler.start_trace(logdir)
+    started = False
+    try:
+        jax.profiler.start_trace(logdir)
+        started = True
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"[trace] profiler unavailable: {e!r}", file=sys.stderr)
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # pragma: no cover
+                print(f"[trace] profiler stop failed: {e!r}", file=sys.stderr)
