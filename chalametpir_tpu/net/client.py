@@ -34,8 +34,13 @@ def _query_or_none(client: Client, key: bytes) -> bytes | None:
 
 
 async def fetch(
-    host: str, port: int, keys: list[bytes], prg_mode: str = "stream", device="auto"
+    host: str, port: int, keys: list[bytes], prg_mode: str = "stream",
+    device="auto", pool: int = 0,
 ) -> dict[bytes, bytes | None]:
+    """Fetch `keys` from a PIR server. pool > 0 runs FrodoPIR's offline
+    query preprocessing for that many queries right after setup (one
+    batched matvec), so the per-key online latency drops to the pooled
+    path (~ms instead of one s.A matvec per key)."""
     reader, writer = await asyncio.open_connection(host, port)
     print(f"Connected to PIR server @ {host}:{port}", file=sys.stderr)
 
@@ -47,7 +52,10 @@ async def fetch(
     filter_params = await read_frame(reader, max_len=4096)
     print(f"Received setup data ({len(hint)} B hint)", file=sys.stderr)
 
-    client = Client.setup(seed, hint, filter_params, prg_mode=prg_mode, device=device)
+    client = Client.setup(
+        seed, hint, filter_params, prg_mode=prg_mode, device=device,
+        prepared_queries=min(pool, len(keys)) if pool else 0,
+    )
     # a valid response is exactly (1, cols) u32 + the 8-byte header
     max_response_frame = client._hint_mat_m.shape[1] * 4 + 64
     results: dict[bytes, bytes | None] = {}
@@ -76,10 +84,15 @@ def main(argv=None):
     ap.add_argument("--key", action="append", default=[], help="key to fetch (repeatable)")
     ap.add_argument("--prg-mode", default="stream", choices=("stream", "ctr"),
                     help="must match the server's --prg-mode")
+    ap.add_argument("--pool", type=int, default=0, metavar="N",
+                    help="precompute N query pairs after setup (FrodoPIR "
+                         "offline phase); online per-key latency drops to ~ms")
     args = ap.parse_args(argv)
     keys = [k.encode() for k in args.key] or [b"banana"]
 
-    results = asyncio.run(fetch(args.host, args.port, keys, prg_mode=args.prg_mode))
+    results = asyncio.run(
+        fetch(args.host, args.port, keys, prg_mode=args.prg_mode, pool=args.pool)
+    )
     for key, value in results.items():
         if value is None:
             print(f"{key.decode(errors='replace')}: <failed>")

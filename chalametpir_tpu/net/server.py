@@ -196,6 +196,10 @@ def main(argv=None):
                     help="after setup, persist serving state to PREFIX.{state,setup}")
     ap.add_argument("--load-state", metavar="PREFIX",
                     help="skip setup and resume serving from a --save-state archive")
+    ap.add_argument("--mesh", metavar="DATAxMODEL",
+                    help="serve the DB sharded over a device mesh, e.g. "
+                         "'1x8' (fingerprint rows over 8 chips; respond "
+                         "psums over ICI). Requires the jax backend.")
     args = ap.parse_args(argv)
 
     if args.load_state and (args.random_db or args.save_state):
@@ -214,9 +218,19 @@ def main(argv=None):
         else:
             db = DEMO_DB
 
+        mesh = None
+        if args.mesh:
+            from ..parallel import make_mesh
+
+            try:
+                data, model = (int(x) for x in args.mesh.lower().split("x"))
+            except ValueError:
+                ap.error("--mesh expects DATAxMODEL, e.g. 1x8")
+            mesh = make_mesh(data=data, model=model)
         seed = os.urandom(SEED_BYTE_LEN)
         server, hint, filter_params = Server.setup(
-            seed, db, arity=args.arity, backend=args.backend, prg_mode=args.prg_mode
+            seed, db, arity=args.arity, backend=args.backend,
+            prg_mode=args.prg_mode, mesh=mesh,
         )
         print(f"Setup done: {len(db)} entries, hint {len(hint)} B", file=sys.stderr)
         if args.save_state:

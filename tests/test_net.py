@@ -197,3 +197,44 @@ def test_fetch_query_helper_reports_pending_conflicts_per_key(rng):
     q2 = _query_or_none(client, k2)
     assert client.process_response(k2, server.respond(q2)) == db[k2]
     assert client.process_response(k1, server.respond(q1)) == db[k1]
+
+
+def test_tcp_round_trip_pooled_client(rng):
+    """fetch(pool=N) runs the FrodoPIR offline preprocessing after setup;
+    results must be identical to the inline path."""
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    tcp = PirTcpServer(server, seed, hint, fparams)
+
+    async def run():
+        srv = await asyncio.start_server(tcp.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            return await fetch(
+                "127.0.0.1", port, [b"banana", b"cherry"], pool=8
+            )
+
+    results = asyncio.run(run())
+    assert results[b"banana"] == b"yellow"
+    assert results[b"cherry"] == b"red"
+
+
+def test_tcp_server_mesh_flag_serves_sharded(rng):
+    """--mesh 1x8 builds a mesh-sharded server behind the same TCP
+    surface (on the test tier: the 8-device virtual CPU mesh)."""
+    from chalametpir_tpu.parallel import make_mesh
+
+    seed = rng.bytes(32)
+    mesh = make_mesh(data=1, model=8)
+    server, hint, fparams = Server.setup(
+        seed, DEMO_DB, mesh=mesh, prg_mode="ctr", rng=rng
+    )
+    tcp = PirTcpServer(server, seed, hint, fparams)
+
+    async def run():
+        srv = await asyncio.start_server(tcp.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            return await fetch("127.0.0.1", port, [b"kiwi"], prg_mode="ctr")
+
+    assert asyncio.run(run())[b"kiwi"] == b"brown"
