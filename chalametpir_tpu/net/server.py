@@ -37,12 +37,18 @@ class BatchDispatcher:
     `max_batch` of them (everything already queued, no artificial delay)
     and answers them with one respond_batch call off-thread."""
 
-    def __init__(self, server: Server, max_batch: int = 64):
+    def __init__(self, server: Server, max_batch: int = 64,
+                 respond_batch_fn=None):
         self._server = server
         self._max_batch = max_batch
+        # pluggable batch hook: multi-host serving wraps respond_batch to
+        # broadcast the stacked queries to the worker processes first
+        # (parallel.multihost.leader_respond_batch_fn)
+        self._respond_batch = respond_batch_fn or server.respond_batch
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: asyncio.Task | None = None
         self.batches = 0  # served batch count (observability/tests)
+        self.served = 0  # served query count
 
     async def submit(self, query_bytes: bytes) -> bytes:
         # restart the worker if it died (cancellation, loop teardown, bug)
@@ -71,7 +77,7 @@ class BatchDispatcher:
                     batch.append(self._queue.get_nowait())
                 try:
                     rows = np.stack([q for q, _ in batch])
-                    out = await asyncio.to_thread(self._server.respond_batch, rows)
+                    out = await asyncio.to_thread(self._respond_batch, rows)
                 except Exception as exc:  # propagate to every waiter
                     for _, fut in batch:
                         if not fut.done():
@@ -79,6 +85,7 @@ class BatchDispatcher:
                     batch = []
                     continue
                 self.batches += 1
+                self.served += len(batch)
                 for i, (_, fut) in enumerate(batch):
                     if not fut.done():
                         fut.set_result(matrix_io.matrix_to_bytes(out[i][None, :]))
@@ -106,12 +113,16 @@ DEMO_DB = {
 
 
 class PirTcpServer:
-    def __init__(self, server: Server, seed: bytes, hint: bytes, filter_params: bytes):
+    def __init__(self, server: Server, seed: bytes, hint: bytes,
+                 filter_params: bytes, respond_batch_fn=None,
+                 max_batch: int = 64):
         self._server = server
         self._seed = seed
         self._hint = hint
         self._filter_params = filter_params
-        self._dispatcher = BatchDispatcher(server)
+        self._dispatcher = BatchDispatcher(
+            server, max_batch=max_batch, respond_batch_fn=respond_batch_fn
+        )
         # a valid query is exactly (1, m) u32 + the 8-byte header; cap the
         # frame reader there so a hostile 4-byte length prefix cannot make
         # this process buffer gigabytes

@@ -86,7 +86,11 @@ def broadcast_query(query_bytes: bytes | None, max_len: int = 1 << 26) -> bytes:
     An oversized query raises ValueError on EVERY process: the source
     broadcasts a length of -1 instead of bailing before the collective —
     raising pre-collective on one process would leave the peers blocked
-    inside broadcast_one_to_all until the distributed timeout."""
+    inside broadcast_one_to_all until the distributed timeout.
+
+    Returns None when the source broadcast a shutdown sentinel (see
+    broadcast_shutdown) — receivers use this to leave their serving
+    loops cleanly."""
     import jax
     from jax.experimental import multihost_utils
 
@@ -104,6 +108,69 @@ def broadcast_query(query_bytes: bytes | None, max_len: int = 1 << 26) -> bytes:
             payload[8 : 8 + buf.size] = buf
     out = multihost_utils.broadcast_one_to_all(payload)
     n = int(np.asarray(out[:8]).view(np.int64)[0])
+    if n == _SHUTDOWN_N:
+        return None
     if n < 0:
         raise ValueError("query exceeds broadcast buffer")
     return np.asarray(out[8 : 8 + n]).tobytes()
+
+
+_SHUTDOWN_N = -2
+
+
+def broadcast_shutdown(max_len: int = 1 << 26) -> None:
+    """Leader-side: release every worker blocked in broadcast_query(None)
+    (their serving loops return None and exit)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return
+    payload = np.zeros(max_len, np.uint8)
+    payload[:8] = np.array([_SHUTDOWN_N], np.int64).view(np.uint8)
+    multihost_utils.broadcast_one_to_all(payload)
+
+
+# -- SPMD serving loop --------------------------------------------------------
+#
+# Multi-host ONLINE serving: the TCP surface lives on the leader
+# (process 0); every respond batch is an SPMD collective, so the worker
+# processes must execute the same respond_batch with the same queries.
+# The leader's batch dispatcher broadcasts each stacked query batch
+# (reference wire format, rows = batch size) before running it; workers
+# sit in worker_respond_loop doing broadcast -> respond until shutdown.
+# Requires a process-local `data` axis (data=1 in practice) so the
+# leader can materialise the replicated response.
+
+
+def _batch_max_len(server, max_batch: int) -> int:
+    # length prefix + matrix header + max_batch rows of m u32 columns
+    return 16 + 4 * max_batch * server.num_query_cols
+
+
+def leader_respond_batch_fn(server, max_batch: int = 64):
+    """Wrap server.respond_batch for the leader's BatchDispatcher: each
+    batch is broadcast to the worker processes, then answered by the
+    collective respond all processes now run together."""
+    from ..core import matrix_io
+
+    max_len = _batch_max_len(server, max_batch)
+
+    def respond_batch(rows: np.ndarray) -> np.ndarray:
+        broadcast_query(matrix_io.matrix_to_bytes(rows), max_len=max_len)
+        return server.respond_batch(rows)
+
+    return respond_batch
+
+
+def worker_respond_loop(server, max_batch: int = 64) -> None:
+    """Run on every non-leader process: participate in the leader's
+    collective responds until it broadcasts shutdown."""
+    from ..core import matrix_io
+
+    max_len = _batch_max_len(server, max_batch)
+    while True:
+        frame = broadcast_query(None, max_len=max_len)
+        if frame is None:
+            return
+        server.respond_batch(matrix_io.matrix_from_bytes(frame))

@@ -37,6 +37,12 @@ def _parse():
     ap.add_argument("--cpu-devices", type=int, default=4,
                     help="virtual CPU devices per process (0 = real backend)")
     ap.add_argument("--entries", type=int, default=300)
+    ap.add_argument("--tcp-queries", type=int, default=0, metavar="N",
+                    help="online-serving mode: process 0 serves TCP until "
+                         "N queries are answered (each respond batch is an "
+                         "SPMD collective across all processes)")
+    ap.add_argument("--port-file", default=None,
+                    help="tcp mode: write the bound port here for the caller")
     return ap.parse_args()
 
 
@@ -58,6 +64,10 @@ def launch(args) -> int:
             "--cpu-devices", str(args.cpu_devices),
             "--entries", str(args.entries),
         ]
+        if args.tcp_queries:
+            cmd += ["--tcp-queries", str(args.tcp_queries)]
+            if args.port_file and pid == 0:
+                cmd += ["--port-file", args.port_file]
         procs.append(subprocess.Popen(cmd))
     deadline = time.monotonic() + args.timeout
     rc = 0
@@ -121,6 +131,10 @@ def worker(args) -> None:
     )
     print(f"[p{pid}] sharded setup done (m={server.num_query_cols})", flush=True)
 
+    if args.tcp_queries:
+        _serve_tcp(args, pid, server, seed, hint, fparams)
+        return
+
     from ..errors import ArithmeticOverflowAddingQueryIndicator
 
     key = sorted(db)[len(db) // 2]
@@ -145,6 +159,47 @@ def worker(args) -> None:
         assert value == db[key], "multihost retrieval mismatch"
         print("MULTIHOST OK", flush=True)
     print(f"[p{pid}] done", flush=True)
+
+
+def _serve_tcp(args, pid, server, seed, hint, fparams) -> None:
+    """Online-serving mode: the leader runs the reference-framed TCP
+    surface, each respond batch broadcast to the workers and answered as
+    one SPMD collective; workers sit in the respond loop until the
+    leader has served --tcp-queries queries and broadcasts shutdown."""
+    from . import multihost
+
+    if pid != 0:
+        multihost.worker_respond_loop(server)
+        print(f"[p{pid}] worker loop done", flush=True)
+        return
+
+    import asyncio
+
+    from ..net.server import PirTcpServer
+
+    tcp = PirTcpServer(
+        server, seed, hint, fparams,
+        respond_batch_fn=multihost.leader_respond_batch_fn(server),
+    )
+
+    async def serve():
+        srv = await asyncio.start_server(tcp.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        if args.port_file:
+            tmp = args.port_file + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(port))
+            os.replace(tmp, args.port_file)  # atomic: readers never see ""
+        print(f"TCP_PORT={port}", flush=True)
+        async with srv:
+            while tcp._dispatcher.served < args.tcp_queries:
+                await asyncio.sleep(0.05)
+
+    asyncio.run(serve())
+    multihost.broadcast_shutdown(
+        multihost._batch_max_len(server, 64)
+    )
+    print("MULTIHOST TCP OK", flush=True)
 
 
 def main() -> None:

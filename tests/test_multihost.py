@@ -61,3 +61,57 @@ def test_two_process_sharded_round_trip():
     combined = out + err
     assert proc.returncode == 0, f"multihost demo failed:\n{combined[-3000:]}"
     assert "MULTIHOST OK" in combined, f"no MULTIHOST OK in:\n{combined[-3000:]}"
+
+
+def test_two_process_tcp_serving_round_trip(tmp_path):
+    """Online serving across processes: the leader's TCP surface answers
+    an EXTERNAL client while every respond batch runs as an SPMD
+    collective with the worker process, then shuts the workers down
+    cleanly. This is the full production composition: reference-framed
+    TCP in front, cross-process psum behind."""
+    import asyncio
+    import time
+
+    import numpy as np
+
+    port_file = str(tmp_path / "port")
+    port_coord = _free_port()
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "chalametpir_tpu.parallel.multihost_demo",
+            "--launch", "2", "--coordinator", f"127.0.0.1:{port_coord}",
+            "--entries", "300", "--timeout", "220",
+            "--tcp-queries", "2", "--port-file", port_file,
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
+    )
+    try:
+        deadline = time.time() + 200
+        port = None
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.exists(port_file):
+                port = int(open(port_file).read())
+                break
+            time.sleep(0.25)
+        assert port, "leader never published its TCP port"
+
+        from chalametpir_tpu.net.client import fetch
+        from chalametpir_tpu.utils import generate_random_kv_database
+
+        # same deterministic DB the demo builds (SPMD contract)
+        db = generate_random_kv_database(
+            300, rng=np.random.default_rng(0xD157), value_byte_len=(1, 64)
+        )
+        keys = sorted(db)[:2]
+        results = asyncio.run(fetch("127.0.0.1", port, keys, prg_mode="ctr"))
+        for k in keys:
+            assert results[k] == db[k]
+        out, err = proc.communicate(timeout=120)
+    except BaseException:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.communicate()
+        raise
+    combined = out + err
+    assert proc.returncode == 0, f"demo failed:\n{combined[-3000:]}"
+    assert "MULTIHOST TCP OK" in combined
