@@ -793,6 +793,9 @@ def _run_scaling_synthetic(log_n=23, value_len=1024):
     ref_db_bytes = m * (-(-cols // cf)) * 4
     rec["server_respond_ms"] = round(t_respond * 1e3, 3)
     rec["respond_scan_GBps"] = round(ref_db_bytes / t_respond / 1e9, 2)
+    # batch amortization at the big-DB regime: one scan serves the batch
+    t_batch_per_q = scan_seconds(queries, 16) / 16
+    rec["server_respond_batch_per_query_ms"] = round(t_batch_per_q * 1e3, 3)
     log(
         f"scaling 2^{log_n} synth: planes {rec['resident_GB']} GB in "
         f"{rec['plane_gen_s']}s, scan {rec['respond_scan_GBps']} GB/s "

@@ -165,7 +165,15 @@ def leader_respond_batch_fn(server, max_batch: int = 64):
 
 def worker_respond_loop(server, max_batch: int = 64) -> None:
     """Run on every non-leader process: participate in the leader's
-    collective responds until it broadcasts shutdown."""
+    collective responds until it broadcasts shutdown.
+
+    max_batch must equal the leader's dispatcher limit: the broadcast
+    buffer SHAPE is part of the collective, so differing values
+    desynchronize the broadcast itself (undefined behavior in the
+    collective layer, not a clean error). A worker that dies
+    mid-loop leaves the leader blocked in its next broadcast until the
+    distributed-runtime timeout — deploy workers under a supervisor that
+    restarts the whole serving group together."""
     from ..core import matrix_io
 
     max_len = _batch_max_len(server, max_batch)
