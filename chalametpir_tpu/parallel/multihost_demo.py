@@ -13,6 +13,11 @@ CPU scaffold (what tests/test_multihost.py drives):
 spawns 2 child processes x 4 virtual CPU devices = an 8-device global
 mesh split across processes. A TPU pod runs the same flow with
 `--process-id/--coordinator` omitted (autodetected) and no --cpu flag.
+
+Online-serving mode (`--tcp-queries N [--port-file P]`): process 0
+additionally runs the reference-framed TCP server; every respond batch
+is broadcast to the workers and answered as one SPMD collective, so an
+unmodified external `net.client` retrieves values from the sharded DB.
 """
 
 from __future__ import annotations
