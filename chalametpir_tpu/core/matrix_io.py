@@ -94,8 +94,6 @@ def row_wise_decompress(mat: np.ndarray, mat_elem_bit_len: int, num_cols: int) -
     if packed_cols != -(-num_cols // cf):
         # a shape bug, not a bit-length problem: the packed column count
         # doesn't correspond to the claimed logical width
-        from ..errors import InvalidNumberOfElementsInMatrix
-
         raise InvalidNumberOfElementsInMatrix()
     out = np.empty((rows, packed_cols * cf), dtype=np.uint32)
     for i in range(cf):

@@ -47,10 +47,14 @@ class BatchDispatcher:
         self._respond_batch = respond_batch_fn or server.respond_batch
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: asyncio.Task | None = None
+        self._busy = False  # a batch is currently being answered
+        self._closed = False
         self.batches = 0  # served batch count (observability/tests)
         self.served = 0  # served query count
 
     async def submit(self, query_bytes: bytes) -> bytes:
+        if self._closed:
+            raise ConnectionError("batch dispatcher closed")
         # restart the worker if it died (cancellation, loop teardown, bug)
         # — otherwise every future submit would await a never-set future
         if self._task is None or self._task.done():
@@ -75,6 +79,7 @@ class BatchDispatcher:
                 batch = [await self._queue.get()]
                 while len(batch) < self._max_batch and not self._queue.empty():
                     batch.append(self._queue.get_nowait())
+                self._busy = True
                 try:
                     rows = np.stack([q for q, _ in batch])
                     out = await asyncio.to_thread(self._respond_batch, rows)
@@ -83,6 +88,7 @@ class BatchDispatcher:
                         if not fut.done():
                             fut.set_exception(exc)
                     batch = []
+                    self._busy = False
                     continue
                 self.batches += 1
                 self.served += len(batch)
@@ -90,9 +96,11 @@ class BatchDispatcher:
                     if not fut.done():
                         fut.set_result(matrix_io.matrix_to_bytes(out[i][None, :]))
                 batch = []
+                self._busy = False
         finally:
             # worker is exiting (cancelled / loop teardown): fail the batch
             # in hand and everything still queued so no submitter hangs
+            self._busy = False
             pending = [f for _, f in batch]
             while not self._queue.empty():
                 try:
@@ -102,6 +110,31 @@ class BatchDispatcher:
             for fut in pending:
                 if not fut.done():
                     fut.set_exception(ConnectionError("batch dispatcher stopped"))
+
+    async def aclose(self) -> None:
+        """Quiesce the dispatcher: stop accepting submissions, let the
+        queue drain and the in-flight batch finish, then stop the worker.
+        After aclose() returns, no respond_batch_fn call is running or
+        will ever run — multi-host serving relies on this to order its
+        shutdown broadcast strictly after every batch broadcast."""
+        self._closed = True
+        while not self._queue.empty() or self._busy:
+            await asyncio.sleep(0.01)
+        if self._task is not None and not self._task.done():
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+        # a submit that raced past the closed check may have enqueued after
+        # the worker's own drain: fail it rather than leaving it hanging
+        while not self._queue.empty():
+            try:
+                fut = self._queue.get_nowait()[1]
+            except asyncio.QueueEmpty:
+                break
+            if not fut.done():
+                fut.set_exception(ConnectionError("batch dispatcher closed"))
 
 DEMO_DB = {
     b"apple": b"red", b"banana": b"yellow", b"grape": b"purple",
@@ -213,10 +246,13 @@ def main(argv=None):
                          "psums over ICI). Requires the jax backend.")
     args = ap.parse_args(argv)
 
-    if args.load_state and (args.random_db or args.save_state):
+    if args.load_state and (args.random_db or args.save_state or args.mesh):
         ap.error("--load-state resumes an archived server; it cannot be "
-                 "combined with --random-db or --save-state (and it ignores "
-                 "--arity/--backend/--prg-mode, which are baked into the archive)")
+                 "combined with --random-db, --save-state, or --mesh (and it "
+                 "ignores --arity/--backend/--prg-mode, which are baked into "
+                 "the archive)")
+    if args.mesh and args.backend == "numpy":
+        ap.error("--mesh requires the jax backend")
     if args.load_state:
         server, seed, hint, filter_params = load_serving_state(args.load_state)
         print(f"Resumed from {args.load_state}.state, hint {len(hint)} B",

@@ -77,7 +77,9 @@ def make_multihost_mesh(model: int | None = None, data: int = 1):
     return make_mesh(jax.devices(), data=data, model=model)
 
 
-def broadcast_query(query_bytes: bytes | None, max_len: int = 1 << 26) -> bytes:
+def broadcast_query(
+    query_bytes: bytes | None, max_len: int = 1 << 26
+) -> bytes | None:
     """Ship one host's serialized query to every process (the client talks
     TCP to ONE host; the collective respond needs the bytes everywhere).
     Non-source processes pass None. Uses the jax multihost broadcast
@@ -142,13 +144,20 @@ def broadcast_shutdown(max_len: int = 1 << 26) -> None:
 # Requires a process-local `data` axis (data=1 in practice) so the
 # leader can materialise the replicated response.
 
+# The collective's broadcast-buffer shape is DEFAULT_SERVE_BATCH deep on
+# every process; the leader's dispatcher, the worker loops, and the
+# shutdown broadcast must all use the SAME value (a mismatch
+# desynchronizes the collective layer itself). Thread this constant —
+# don't restate the number.
+DEFAULT_SERVE_BATCH = 64
+
 
 def _batch_max_len(server, max_batch: int) -> int:
     # length prefix + matrix header + max_batch rows of m u32 columns
     return 16 + 4 * max_batch * server.num_query_cols
 
 
-def leader_respond_batch_fn(server, max_batch: int = 64):
+def leader_respond_batch_fn(server, max_batch: int = DEFAULT_SERVE_BATCH):
     """Wrap server.respond_batch for the leader's BatchDispatcher: each
     batch is broadcast to the worker processes, then answered by the
     collective respond all processes now run together."""
@@ -163,14 +172,15 @@ def leader_respond_batch_fn(server, max_batch: int = 64):
     return respond_batch
 
 
-def worker_respond_loop(server, max_batch: int = 64) -> None:
+def worker_respond_loop(server, max_batch: int = DEFAULT_SERVE_BATCH) -> None:
     """Run on every non-leader process: participate in the leader's
     collective responds until it broadcasts shutdown.
 
-    max_batch must equal the leader's dispatcher limit: the broadcast
-    buffer SHAPE is part of the collective, so differing values
-    desynchronize the broadcast itself (undefined behavior in the
-    collective layer, not a clean error). A worker that dies
+    max_batch must equal the leader's dispatcher limit (keep both at
+    DEFAULT_SERVE_BATCH): the broadcast buffer SHAPE is part of the
+    collective, so differing values desynchronize the broadcast itself
+    (undefined behavior in the collective layer, not a clean error). A
+    worker that dies
     mid-loop leaves the leader blocked in its next broadcast until the
     distributed-runtime timeout — deploy workers under a supervisor that
     restarts the whole serving group together."""

@@ -185,6 +185,7 @@ def _serve_tcp(args, pid, server, seed, hint, fparams) -> None:
     tcp = PirTcpServer(
         server, seed, hint, fparams,
         respond_batch_fn=multihost.leader_respond_batch_fn(server),
+        max_batch=multihost.DEFAULT_SERVE_BATCH,
     )
 
     async def serve():
@@ -199,10 +200,17 @@ def _serve_tcp(args, pid, server, seed, hint, fparams) -> None:
         async with srv:
             while tcp._dispatcher.served < args.tcp_queries:
                 await asyncio.sleep(0.05)
+        # quiesce BEFORE the shutdown broadcast: aclose() guarantees no
+        # batch broadcast is running or can start, so the shutdown
+        # collective below is strictly ordered after every batch
+        # collective (a late extra query gets a clean ConnectionError);
+        # the grace sleep lets in-flight response writes flush
+        await tcp._dispatcher.aclose()
+        await asyncio.sleep(0.2)
 
     asyncio.run(serve())
     multihost.broadcast_shutdown(
-        multihost._batch_max_len(server, 64)
+        multihost._batch_max_len(server, multihost.DEFAULT_SERVE_BATCH)
     )
     print("MULTIHOST TCP OK", flush=True)
 
