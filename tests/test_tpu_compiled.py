@@ -131,6 +131,29 @@ def test_sharded_ctr_hint_single_device_mesh(rng):
     assert np.array_equal(hint[:, :c], want)
 
 
+def test_sharded_respond_single_device_mesh(rng):
+    """The shard_map packed respond path compiled on the real backend
+    (1x1 mesh — the collective structure still runs), exact vs the
+    uint64 oracle."""
+    from chalametpir_tpu.parallel import (
+        build_sharded_pallas_db,
+        make_mesh,
+        sharded_respond_packed_fn,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:1], data=1, model=1)
+    m, c, b = 900, 48, 9
+    mat = rng.integers(0, 1 << b, size=(m, c), dtype=np.uint16)
+    db = build_sharded_pallas_db(mesh, mat, b)
+    respond = sharded_respond_packed_fn(mesh, db)
+    m_pad = db.lo.shape[0]
+    q = rng.integers(0, 1 << 32, size=(2, m), dtype=np.uint32)
+    q_pad = np.pad(q, ((0, 0), (0, m_pad - m)))
+    out = np.asarray(respond(q_pad))[:, :c]
+    want = (q.astype(np.uint64) @ mat.astype(np.uint64)).astype(np.uint32)
+    assert np.array_equal(out, want)
+
+
 def test_tcp_round_trip_compiled(rng):
     """The TCP pair served by a compiled device respond path (C13 on
     real hardware — the CPU-mesh suite runs it through the Pallas
