@@ -80,3 +80,45 @@ def test_bench_emits_valid_json_lines():
     final = json.loads(lines[-1])
     assert final["value"] is not None
     assert final["rows"], "final record must carry the per-config rows"
+
+
+def test_bench_compact_line_trimming(capsys, monkeypatch):
+    """The last-resort overflow trimming: with far more rows than the
+    driver's tail window fits, emit_state must still print one valid
+    JSON line under the cap, preserving the headline row."""
+    import importlib
+
+    import bench as bench_mod
+
+    bench = importlib.reload(bench_mod)  # fresh STATE
+    fat = {
+        "config": "2^20x1024B arity3 prg=ctr",
+        "b": 9,
+        "server_setup_s": 83.41,
+        "server_setup_upload_s": 26.93,
+        "server_respond_ms": 1.838,
+        "respond_scan_GBps": 805.92,
+        "server_respond_batch_per_query_ms": 0.0634,
+        "client_query_ms": 1.69,
+        "client_query_inline_ms": 187.5,
+        "client_query_inline_link_ms": 183.8,
+        "server_respond_e2e_ms": 157.8,
+        "server_respond_e2e_link_ms": 167.2,
+        "client_process_response_us": 6.78,
+    }
+    for i in range(40):  # ~40 full rows ≈ 5+ KB uncompacted
+        rec = dict(fat)
+        rec["config"] = f"2^{10 + i}x1024B arity3 prg=ctr"
+        bench.add_row(rec)
+    bench.STATE["check_tpu"] = "pass 8/8"
+    # don't let the test write the repo's BENCH_FULL.json
+    monkeypatch.setattr(bench, "FULL_PATH", "/tmp/bench_full_test.json")
+    bench.emit_state()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= bench.MAX_LINE, len(line)
+    rec = json.loads(line)
+    assert rec["metric"] == "server_respond_db_scan_GBps"
+    assert rec["rows"][0]["c"] == "10a3"  # headline slot survives
+    assert rec["check_tpu"] == "pass 8/8"
+    # STATE's own rows were not mutated by the trimming
+    assert "el" in bench.STATE["rows"][5]
