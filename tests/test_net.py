@@ -238,3 +238,34 @@ def test_tcp_server_mesh_flag_serves_sharded(rng):
             return await fetch("127.0.0.1", port, [b"kiwi"], prg_mode="ctr")
 
     assert asyncio.run(run())[b"kiwi"] == b"brown"
+
+
+def test_batch_dispatcher_aclose_quiesces(rng):
+    """aclose(): in-flight work completes, late submissions get a clean
+    ConnectionError, and no respond call can start afterwards (the
+    multi-host shutdown broadcast relies on exactly this ordering)."""
+    from chalametpir_tpu.net.server import BatchDispatcher
+    from chalametpir_tpu.core import matrix_io
+    import numpy as np
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    calls = []
+
+    def counting_respond(rows):
+        calls.append(rows.shape[0])
+        return server.respond_batch(rows)
+
+    disp = BatchDispatcher(server, respond_batch_fn=counting_respond)
+    q = np.zeros((1, server.num_query_cols), np.uint32)
+    q_bytes = matrix_io.matrix_to_bytes(q)
+
+    async def run():
+        out = await disp.submit(q_bytes)
+        assert out  # served
+        await disp.aclose()
+        with pytest.raises(ConnectionError):
+            await disp.submit(q_bytes)
+
+    asyncio.run(run())
+    assert sum(calls) == 1  # nothing ran after the quiesce
