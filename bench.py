@@ -5,7 +5,9 @@ tail of this process's output and parses the LAST line as JSON. So every
 line this harness prints to stdout is a COMPACT (<1.8 KB), self-contained
 record — headline fields plus one short dict per completed config — and
 each line supersedes the previous one. A timeout can only truncate
-detail, never produce an unparseable artifact. The full fat record
+detail, never produce an unparseable artifact (lines stay under
+PIPE_BUF=4096, so each print is one atomic write even to a pipe — a
+mid-run SIGKILL cannot tear the final line). The full fat record
 (every field, phase breakdowns, legend) is continuously rewritten to
 BENCH_FULL.json next to this file.
 
