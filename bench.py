@@ -81,7 +81,9 @@ H2D_RATE: float | None = None  # GB/s, measured once in main()
 D2H_RATE: float | None = None  # GB/s
 RTT_MS: float | None = None  # tiny h2d+d2h round-trip constant
 
-FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+FULL_PATH = os.environ.get("PIR_BENCH_FULL_PATH") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+)
 MAX_LINE = 1800  # hard cap: the driver's tail window is ~2 KB
 
 

@@ -65,6 +65,8 @@ def test_bench_emits_valid_json_lines():
             "PIR_BENCH_LOG_N": "8",
             "PIR_BENCH_VALUE_LEN": "64",
             "PIR_BENCH_MATRIX": "0",
+            # keep the smoke run from clobbering the repo's real artifact
+            "PIR_BENCH_FULL_PATH": "/tmp/bench_full_smoke.json",
             "PIR_BENCH_BATCH": "2",
         },
     )
