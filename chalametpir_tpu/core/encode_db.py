@@ -108,6 +108,7 @@ def from_kv_database_streaming(
     chunk_rows: int,
     max_attempt_count: int = SERVER_SETUP_MAX_ATTEMPT_COUNT,
     rng: np.random.Generator | None = None,
+    stats: dict | None = None,
 ):
     """Streaming encode: returns (mat16, filt, chunk_iter) where mat16 is
     the (num_fingerprints, cols) uint16 matrix being assembled on a worker
@@ -161,15 +162,23 @@ def from_kv_database_streaming(
     with telemetry.span("encode_stream.alloc", mb=n_chunks * chunk_rows * cols * 2 >> 20):
         mat = np.zeros((n_chunks * chunk_rows, cols), np.uint16)
 
-    worker = threading.Thread(
-        target=_native.encode_assemble_rows16_ordered,
-        args=(
-            digest_bytes, values, key_index, reverse_order, reverse_h,
-            mat_elem_bit_len, filt.arity, filt.segment_length,
-            filt.segment_count_length, mat, chunk_rows, progress,
-        ),
-        daemon=True,
-    )
+    def _worker_main():
+        # the worker's CPU seconds feed the setup attribution (bench
+        # floor fields): on this single-core host, wall = main CPU +
+        # worker CPU + runtime-thread CPU + external, and each term must
+        # be measured, not modeled
+        t0 = time.thread_time()
+        try:
+            _native.encode_assemble_rows16_ordered(
+                digest_bytes, values, key_index, reverse_order, reverse_h,
+                mat_elem_bit_len, filt.arity, filt.segment_length,
+                filt.segment_count_length, mat, chunk_rows, progress,
+            )
+        finally:
+            if stats is not None:
+                stats["worker_cpu_s"] = time.thread_time() - t0
+
+    worker = threading.Thread(target=_worker_main, daemon=True)
     worker.start()
 
     def chunk_iter():

@@ -143,23 +143,29 @@ def iter_row_blocks(
         yield r0, stream.read_u32(r * cols).reshape(r, cols)
 
 
-def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+def prefetch_iter(it: Iterator, depth: int = 2, stats: dict | None = None) -> Iterator:
     """Run a (host-bound) iterator in a background thread, `depth` items
     ahead. The XOF squeeze is C code that releases the GIL, so the next A
     row block is squeezed while the device folds the current one into the
     hint — host PRG and device matmul overlap instead of serialising.
+
+    stats (optional) receives {"producer_cpu_s": ...} when the producer
+    finishes — the XOF thread's CPU seconds, consumed by the setup
+    attribution so PRG cost is not conflated with transfer cost.
 
     Abandoning the generator early (consumer raises / GeneratorExit) stops
     the producer and reaps the thread — otherwise it would block forever
     on the bounded queue, pinning itself and its buffered blocks."""
     import queue
     import threading
+    import time as _time
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
     stop = threading.Event()
 
     def worker():
+        cpu0 = _time.thread_time()
         try:
             for item in it:
                 while not stop.is_set():
@@ -173,6 +179,9 @@ def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
             stop_item = _END
         except BaseException as e:  # surface errors on the consumer side
             stop_item = e
+        finally:
+            if stats is not None:
+                stats["producer_cpu_s"] = _time.thread_time() - cpu0
         while not stop.is_set():
             try:
                 q.put(stop_item, timeout=0.1)

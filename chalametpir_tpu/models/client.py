@@ -95,6 +95,9 @@ class Client:
         self._refill_thread: threading.Thread | None = None
         self._resp_out: np.ndarray | None = None  # reused decode buffer
         self._resp_out_ptr = 0
+        # filled by setup(); wall/cpu attribution for bench (empty when the
+        # client was constructed directly or via load())
+        self.setup_stats: dict = {}
 
     @classmethod
     def setup(
@@ -123,6 +126,14 @@ class Client:
         auto_refill keeps the pool topped up from a background thread."""
         if len(seed) != SEED_BYTE_LEN:
             raise ValueError(f"seed must be {SEED_BYTE_LEN} bytes")
+        # setup attribution (consumed by bench.py): a_expand_s is the wall
+        # of the host XOF expansion (the dominant stream-mode step),
+        # cpu_s this thread's CPU over the whole setup — wall >> cpu means
+        # the host was preempted (co-tenant / tunnel), not doing XOF work
+        import time as _t
+
+        stats: dict = {}
+        wall0, cpu0 = _t.perf_counter(), _t.thread_time()
         filt = BinaryFuseFilter.from_bytes(filter_param_bytes)
         hint_mat_m = matrix_io.matrix_from_bytes(hint_bytes)
         if hint_mat_m.shape[0] != LWE_DIMENSION:
@@ -146,9 +157,11 @@ class Client:
                     else:
                         engine = DeviceQueryEngine.from_seed_ctr(seed, m)
                 else:
+                    t0 = _t.perf_counter()
                     a_host = prg.expand_seed(
                         LWE_DIMENSION, m, seed, mode=prg_mode
                     )
+                    stats["a_expand_s"] = round(_t.perf_counter() - t0, 2)
                     engine = DeviceQueryEngine.from_host_matrix(a_host)
             except Exception:
                 # auto means best-effort: a device-side failure (e.g. HBM
@@ -184,12 +197,20 @@ class Client:
             # stream-mode fallback: the multi-GB XOF expansion may have
             # already succeeded before the device upload failed — reuse it
             # instead of paying the most expensive setup step twice
-            pub_mat_a = a_host if a_host is not None else prg.expand_seed(
-                LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
-            )
+            if a_host is not None:
+                pub_mat_a = a_host
+            else:
+                t0 = _t.perf_counter()
+                pub_mat_a = prg.expand_seed(
+                    LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
+                )
+                stats["a_expand_s"] = round(_t.perf_counter() - t0, 2)
             client = cls(
                 pub_mat_a, hint_mat_m, filt, seed=seed, prg_mode=prg_mode
             )
+        stats["wall_s"] = round(_t.perf_counter() - wall0, 2)
+        stats["cpu_s"] = round(_t.thread_time() - cpu0, 2)
+        client.setup_stats = stats
         if prepared_queries > 0:
             client.prepare_queries(prepared_queries)
         if auto_refill:

@@ -253,6 +253,13 @@ def main(argv=None):
                  "the archive)")
     if args.mesh and args.backend == "numpy":
         ap.error("--mesh requires the jax backend")
+    if args.mesh and args.save_state:
+        # Server.save() on a mesh-sharded server gathers the planes and the
+        # archive would silently resume as an UNSHARDED single-device server
+        # (possibly not fitting one device's HBM, and losing the sharded
+        # respond path). Refuse, mirroring the --load-state guard above.
+        ap.error("--save-state cannot archive a --mesh-sharded server; "
+                 "re-run setup with --mesh on restart instead")
     if args.load_state:
         server, seed, hint, filter_params = load_serving_state(args.load_state)
         print(f"Resumed from {args.load_state}.state, hint {len(hint)} B",

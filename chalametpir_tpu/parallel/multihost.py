@@ -49,6 +49,15 @@ def initialize(
     is_init = getattr(jax.distributed, "is_initialized", None)
     if is_init is not None and is_init():
         return
+    if coordinator_address is None and not (
+        num_processes is None and process_id is None
+    ):
+        # silently dropping these would fall through to autodetection —
+        # on a CPU cluster that means a surprise single-process runtime
+        raise ValueError(
+            "process_id/num_processes require coordinator_address (on TPU "
+            "pods pass no arguments at all; autodetection covers all three)"
+        )
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -77,6 +86,18 @@ def make_multihost_mesh(model: int | None = None, data: int = 1):
     return make_mesh(jax.devices(), data=data, model=model)
 
 
+def _payload_shape(n: int) -> int:
+    """Collective payload size for an n-byte query: the next power of two
+    (floor 4 KB). Every process derives this from the broadcast header
+    alone, so the payload collective's shape agrees everywhere, and the
+    log-spaced sizes bound the collective compile cache instead of
+    re-jitting per distinct batch length."""
+    size = 4096
+    while size < n:
+        size <<= 1
+    return size
+
+
 def broadcast_query(
     query_bytes: bytes | None, max_len: int = 1 << 26
 ) -> bytes | None:
@@ -84,6 +105,13 @@ def broadcast_query(
     TCP to ONE host; the collective respond needs the bytes everywhere).
     Non-source processes pass None. Uses the jax multihost broadcast
     (gloo/DCN), so no extra transport is needed.
+
+    Two-phase: a tiny fixed-shape header collective carries the byte
+    length (or a sentinel), then a payload collective sized from that
+    length — so a single-row respond broadcasts kilobytes, not a
+    max_batch-deep buffer (with serve-batch sizing that buffer is
+    hundreds of MB at realistic fingerprint counts, which made multi-host
+    online latency scale with max_batch*m rather than the actual batch).
 
     An oversized query raises ValueError on EVERY process: the source
     broadcasts a length of -1 instead of bailing before the collective —
@@ -100,21 +128,19 @@ def broadcast_query(
         if query_bytes is not None and len(query_bytes) + 8 > max_len:
             raise ValueError("query exceeds broadcast buffer")
         return query_bytes
-    payload = np.zeros(max_len, np.uint8)
+    header = np.zeros(1, np.int64)
     if query_bytes is not None:
-        buf = np.frombuffer(query_bytes, np.uint8)
-        if buf.size + 8 > max_len:
-            payload[:8] = np.array([-1], np.int64).view(np.uint8)
-        else:
-            payload[:8] = np.array([buf.size], np.int64).view(np.uint8)
-            payload[8 : 8 + buf.size] = buf
-    out = multihost_utils.broadcast_one_to_all(payload)
-    n = int(np.asarray(out[:8]).view(np.int64)[0])
+        header[0] = -1 if len(query_bytes) + 8 > max_len else len(query_bytes)
+    n = int(np.asarray(multihost_utils.broadcast_one_to_all(header))[0])
     if n == _SHUTDOWN_N:
         return None
     if n < 0:
         raise ValueError("query exceeds broadcast buffer")
-    return np.asarray(out[8 : 8 + n]).tobytes()
+    payload = np.zeros(_payload_shape(n), np.uint8)
+    if query_bytes is not None:
+        payload[:n] = np.frombuffer(query_bytes, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(payload)
+    return np.asarray(out[:n]).tobytes()
 
 
 _SHUTDOWN_N = -2
@@ -122,15 +148,16 @@ _SHUTDOWN_N = -2
 
 def broadcast_shutdown(max_len: int = 1 << 26) -> None:
     """Leader-side: release every worker blocked in broadcast_query(None)
-    (their serving loops return None and exit)."""
+    (their serving loops return None and exit). Header-only: receivers
+    see the sentinel and never enter the payload collective."""
     import jax
     from jax.experimental import multihost_utils
 
+    del max_len  # kept for call-site compatibility; shutdown is header-only
     if jax.process_count() == 1:
         return
-    payload = np.zeros(max_len, np.uint8)
-    payload[:8] = np.array([_SHUTDOWN_N], np.int64).view(np.uint8)
-    multihost_utils.broadcast_one_to_all(payload)
+    header = np.full(1, _SHUTDOWN_N, np.int64)
+    multihost_utils.broadcast_one_to_all(header)
 
 
 # -- SPMD serving loop --------------------------------------------------------
@@ -144,11 +171,10 @@ def broadcast_shutdown(max_len: int = 1 << 26) -> None:
 # Requires a process-local `data` axis (data=1 in practice) so the
 # leader can materialise the replicated response.
 
-# The collective's broadcast-buffer shape is DEFAULT_SERVE_BATCH deep on
-# every process; the leader's dispatcher, the worker loops, and the
-# shutdown broadcast must all use the SAME value (a mismatch
-# desynchronizes the collective layer itself). Thread this constant —
-# don't restate the number.
+# The payload collective's shape derives from the broadcast header, so
+# batch-size mismatches can no longer desynchronize the collective layer;
+# max_batch only caps the oversize check on the SOURCE. Keep leader and
+# workers on this constant anyway so the cap they enforce agrees.
 DEFAULT_SERVE_BATCH = 64
 
 

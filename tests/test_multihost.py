@@ -32,6 +32,30 @@ def test_broadcast_query_single_process_contract():
         multihost.broadcast_query(b"x" * 57, max_len=64)
 
 
+def test_payload_shape_is_header_derived():
+    """Every process derives the payload collective's shape from the
+    broadcast header alone — log-spaced so tiny batches broadcast KBs
+    (not a max_batch-deep buffer) while the compile cache stays bounded."""
+    from chalametpir_tpu.parallel.multihost import _payload_shape
+
+    assert _payload_shape(0) == 4096
+    assert _payload_shape(4096) == 4096
+    assert _payload_shape(4097) == 8192
+    assert _payload_shape(1 << 20) == 1 << 20
+    assert _payload_shape((1 << 20) + 1) == 1 << 21
+
+
+def test_initialize_rejects_partial_cluster_spec():
+    """process_id/num_processes without a coordinator address must raise,
+    not silently fall through to autodetection."""
+    from chalametpir_tpu.parallel import multihost
+
+    with pytest.raises(ValueError):
+        multihost.initialize(process_id=0)
+    with pytest.raises(ValueError):
+        multihost.initialize(num_processes=2)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
