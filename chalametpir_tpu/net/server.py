@@ -38,13 +38,30 @@ class BatchDispatcher:
     and answers them with one respond_batch call off-thread."""
 
     def __init__(self, server: Server, max_batch: int = 64,
-                 respond_batch_fn=None):
+                 respond_batch_fn=None, pad_batches: bool | None = None):
         self._server = server
         self._max_batch = max_batch
         # pluggable batch hook: multi-host serving wraps respond_batch to
         # broadcast the stacked queries to the worker processes first
         # (parallel.multihost.leader_respond_batch_fn)
         self._respond_batch = respond_batch_fn or server.respond_batch
+        # pad every batch to max_batch rows on the jax backend: the device
+        # respond compiles per batch SHAPE, and the micro-batches here are
+        # whatever happened to be queued (1, 5, 17, ...) — unpadded, every
+        # new size would pay a fresh (remote) compile. A full-batch scan
+        # costs barely more than a single query (the DB scan dominates),
+        # so padding buys one compiled shape for ~free. Zero-padded query
+        # rows are exact: their responses are zero and get sliced off.
+        # Defaults off when a custom respond_batch_fn is plugged in: the
+        # multi-host wrapper broadcasts the stacked rows, and padding
+        # would re-inflate every broadcast to max_batch depth (the caller
+        # can still opt in explicitly).
+        if pad_batches is None:
+            pad_batches = (
+                respond_batch_fn is None
+                and getattr(server, "_backend", None) == "jax"
+            )
+        self._pad_batches = pad_batches
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: asyncio.Task | None = None
         self._busy = False  # a batch is currently being answered
@@ -82,6 +99,10 @@ class BatchDispatcher:
                 self._busy = True
                 try:
                     rows = np.stack([q for q, _ in batch])
+                    if self._pad_batches and rows.shape[0] < self._max_batch:
+                        rows = np.pad(
+                            rows, ((0, self._max_batch - rows.shape[0]), (0, 0))
+                        )
                     out = await asyncio.to_thread(self._respond_batch, rows)
                 except Exception as exc:  # propagate to every waiter
                     for _, fut in batch:

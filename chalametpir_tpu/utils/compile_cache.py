@@ -20,8 +20,23 @@ setup call or opt out entirely.
 
 The default cache path embeds a machine fingerprint (CPU ISA + JAX
 version + backend), so AOT artifacts compiled on a different host are
-never loaded (XLA warns 'could lead to execution errors such as SIGILL'
-when CPU feature sets mismatch).
+never loaded with a different ISA.
+
+Why the cpu_aot_loader "could lead to execution errors such as SIGILL"
+error lines are suppressed (see _suppress_benign_aot_warnings): the
+warning fires even for a SAME-MACHINE compile->reload (verified: one
+process compiles into a fresh cache dir, a second process on the same
+host reloads, warning appears). The diff it reports is exclusively LLVM
+*tuning preferences* (+prefer-no-gather, +prefer-no-scatter) and
+negative (-feature) entries, which XLA records at compile time but the
+loader's host-feature probe never reports; every positive ISA feature
+(avx512*, amx-*, ...) in the compiled artifact is present on the host.
+Loads are therefore safe — no instruction outside the host ISA can be
+emitted from a feature set whose positive entries all match — and the
+multi-KB error line (dozens of repeats per `make check`/dryrun) only
+buries real errors. The filter drops exactly those lines at the fd
+level and forwards everything else; CHALAMETPIR_KEEP_AOT_WARNINGS=1
+keeps them.
 
 Opt out with CHALAMETPIR_NO_COMPILE_CACHE=1 or point the cache somewhere
 else with CHALAMETPIR_COMPILE_CACHE_DIR.
@@ -34,6 +49,75 @@ import os
 import platform
 
 _DONE = False
+_FILTER_INSTALLED = False
+
+# substrings unique to the known-benign XLA:CPU AOT feature-mismatch
+# error line (xla cpu_aot_loader.cc:210) — nothing else in the stack
+# prints these
+_BENIGN_TOKENS = (b"cpu_aot_loader", b"execution errors such as SIGILL")
+
+
+def _suppress_benign_aot_warnings() -> None:
+    """Filter the known-benign cpu_aot_loader feature-mismatch error from
+    fd 2 (it is emitted by C++ glog, below Python's logging). A pump
+    thread forwards every other line verbatim; an atexit hook restores
+    the real stderr and drains the pipe so no output is ever lost."""
+    global _FILTER_INSTALLED
+    if _FILTER_INSTALLED or os.environ.get(
+        "CHALAMETPIR_KEEP_AOT_WARNINGS", ""
+    ) not in ("", "0"):
+        _FILTER_INSTALLED = True
+        return
+    _FILTER_INSTALLED = True
+    import atexit
+    import threading
+
+    try:
+        orig = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+    except OSError:  # pragma: no cover - no fd 2 (daemonized)
+        return
+
+    def pump():
+        buf = b""
+        try:
+            while True:
+                chunk = os.read(r, 65536)
+                if not chunk:
+                    break
+                buf += chunk
+                *lines, buf = buf.split(b"\n")
+                for ln in lines:
+                    if not any(t in ln for t in _BENIGN_TOKENS):
+                        os.write(orig, ln + b"\n")
+                if len(buf) > (1 << 20):  # pathological unterminated line
+                    os.write(orig, buf)
+                    buf = b""
+        except OSError:  # pragma: no cover - orig closed at teardown
+            pass
+        finally:
+            if buf:
+                try:
+                    os.write(orig, buf)
+                except OSError:
+                    pass
+            os.close(r)
+
+    t = threading.Thread(target=pump, daemon=True, name="aot-warning-filter")
+    t.start()
+
+    def restore():
+        # put the real stderr back; closing the pipe's last writer EOFs
+        # the pump, which drains and exits before we return
+        try:
+            os.dup2(orig, 2)
+        except OSError:  # pragma: no cover
+            pass
+        t.join(timeout=5)
+
+    atexit.register(restore)
 
 
 def _machine_fingerprint() -> str:
@@ -65,6 +149,7 @@ def enable_compile_cache() -> None:
         _DONE = True
         return
     _DONE = True
+    _suppress_benign_aot_warnings()
     try:
         import jax
 
