@@ -85,6 +85,52 @@ def test_batch_dispatcher_coalesces_concurrent_queries(rng):
     assert dispatcher.batches < len(keys)
 
 
+def test_batch_dispatcher_pads_to_one_compiled_shape(rng):
+    """pad_batches=True must stack every device batch to exactly max_batch
+    rows (one compiled shape on hardware — micro-batch sizes vary with
+    queue luck and would otherwise each pay a remote compile) while the
+    per-query responses stay exact."""
+    from chalametpir_tpu.models.client import Client
+    from chalametpir_tpu.net.server import BatchDispatcher
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+
+    keys = [b"apple", b"banana", b"grape"]
+    queries = []
+    for k in keys:
+        while True:
+            try:
+                queries.append(client.query(k))
+                break
+            except ArithmeticOverflowAddingQueryIndicator:
+                pass
+
+    seen_shapes = []
+    real = server.respond_batch
+
+    def spying_respond(rows):
+        seen_shapes.append(rows.shape)
+        return real(rows)
+
+    disp = BatchDispatcher(
+        server, max_batch=8, respond_batch_fn=spying_respond, pad_batches=True
+    )
+
+    async def run():
+        return await asyncio.gather(*(disp.submit(q) for q in queries))
+
+    responses = asyncio.run(run())
+    for k, r in zip(keys, responses):
+        assert client.process_response(k, r) == DEMO_DB[k]
+    assert seen_shapes and all(s[0] == 8 for s in seen_shapes)
+    # default OFF when a custom respond_batch_fn is plugged in (the
+    # multi-host wrapper broadcasts the stacked rows)
+    assert BatchDispatcher(server, respond_batch_fn=real)._pad_batches is False
+
+
 def test_batch_dispatcher_rejects_malformed():
     import numpy as np
 
