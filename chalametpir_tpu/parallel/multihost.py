@@ -202,14 +202,13 @@ def worker_respond_loop(server, max_batch: int = DEFAULT_SERVE_BATCH) -> None:
     """Run on every non-leader process: participate in the leader's
     collective responds until it broadcasts shutdown.
 
-    max_batch must equal the leader's dispatcher limit (keep both at
-    DEFAULT_SERVE_BATCH): the broadcast buffer SHAPE is part of the
-    collective, so differing values desynchronize the broadcast itself
-    (undefined behavior in the collective layer, not a clean error). A
-    worker that dies
-    mid-loop leaves the leader blocked in its next broadcast until the
-    distributed-runtime timeout — deploy workers under a supervisor that
-    restarts the whole serving group together."""
+    max_batch should equal the leader's dispatcher limit (keep both at
+    DEFAULT_SERVE_BATCH) so the oversize cap both sides enforce agrees;
+    the payload collective's shape derives from the broadcast header, so
+    a mismatch can no longer desynchronize the collective layer itself.
+    A worker that dies mid-loop leaves the leader blocked in its next
+    broadcast until the distributed-runtime timeout — deploy workers
+    under a supervisor that restarts the whole serving group together."""
     from ..core import matrix_io
 
     max_len = _batch_max_len(server, max_batch)
