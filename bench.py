@@ -1074,6 +1074,22 @@ def main() -> None:
     # 1. headline (always)
     run_stage(LOG_N, ARITY, PRG_MODE)
 
+    # cold-compile credit: on a machine whose persistent compile cache is
+    # empty, the headline setup blocks for minutes in the remote compile
+    # service (r5 rehearsal: 709 s, all in the measured cpu_s.external
+    # bucket). That stall is environmental, not work — credit it back to
+    # the budget (bounded) exactly like the init-stall restart, and
+    # record it. Later stages reuse the now-cached programs.
+    cpu0 = (STATE["fat_rows"][0].get("server_setup_cpu_s") or {}) if STATE["fat_rows"] else {}
+    ext = cpu0.get("external", 0.0) or 0.0
+    if ext > 180:
+        credit = min(ext - 60, 700.0)
+        res["headline_stall_s"] = round(ext, 1)
+        log(f"headline setup stalled externally {ext:.0f}s (cold compile / "
+            f"co-tenant); crediting {credit:.0f}s back to the budget")
+        global T_START
+        T_START += credit
+
     # 2. headline-size arity-4 row, immediately after the arity-3 headline:
     #    shares the cached DB dict AND sees the same device/link state, so
     #    the a3-vs-a4 comparison is apples-to-apples (in r4 the ~11 GB
@@ -1085,12 +1101,16 @@ def main() -> None:
     # 3. the BASELINE config-5 regime on one chip (synthetic planes, cheap:
     #    no DB build, no upload); the plane is deleted device-side when the
     #    stage ends
-    if LOG_N >= 20 and left() > 120:
-        try:
-            rec = _run_scaling_synthetic(23, VALUE_LEN)
-        except Exception as e:
-            log(f"scaling synth failed: {e!r}")
-            rec = {"config": "2^23 SYNTHETIC-PLANES", "error": repr(e)}
+    if LOG_N >= 20:
+        if left() > 120:
+            try:
+                rec = _run_scaling_synthetic(23, VALUE_LEN)
+            except Exception as e:
+                log(f"scaling synth failed: {e!r}")
+                rec = {"config": "2^23 SYNTHETIC-PLANES", "error": repr(e)}
+        else:
+            rec = {"config": "2^23x1024B arity3 SYNTHETIC-PLANES",
+                   "skipped": f"budget ({left():.0f}s left, need ~120s)"}
         STATE["scaling"].append(_compact(rec))
         STATE.setdefault("scaling_fat", []).append(rec)
         emit_state()

@@ -166,8 +166,13 @@ def from_kv_database_streaming(
         # the worker's CPU seconds feed the setup attribution (bench
         # floor fields): on this single-core host, wall = main CPU +
         # worker CPU + runtime-thread CPU + external, and each term must
-        # be measured, not modeled
+        # be measured, not modeled. The minor-fault delta separates
+        # page-fault fill (first touch of `mat`, slow late in a
+        # long-lived process) from assembly compute.
+        import resource
+
         t0 = time.thread_time()
+        ru0 = resource.getrusage(resource.RUSAGE_THREAD)
         try:
             _native.encode_assemble_rows16_ordered(
                 digest_bytes, values, key_index, reverse_order, reverse_h,
@@ -176,7 +181,9 @@ def from_kv_database_streaming(
             )
         finally:
             if stats is not None:
+                ru1 = resource.getrusage(resource.RUSAGE_THREAD)
                 stats["worker_cpu_s"] = time.thread_time() - t0
+                stats["worker_minflt"] = ru1.ru_minflt - ru0.ru_minflt
 
     worker = threading.Thread(target=_worker_main, daemon=True)
     worker.start()

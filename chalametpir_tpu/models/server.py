@@ -243,6 +243,21 @@ class Server:
 
         phase = dict(wait=0.0, pack=0.0, put=0.0, dispatch=0.0, drain=0.0)
         upload_bytes = 0
+        # two host pack-buffer pairs reused round-robin: fresh GB-scale
+        # MAP_POPULATE allocations per chunk degrade badly late in a
+        # long-lived jax process (BENCH r5 measured ~45 s of extra CPU on
+        # the late-running arity-4 row). A pair is only rewritten after
+        # the device arrays produced from it two chunks ago are ready —
+        # on an accelerator backend device_put copies host->HBM, so
+        # block_until_ready means the transfer (the host memory's only
+        # reader) has completed. On the CPU backend device_put can
+        # zero-copy ALIAS page-aligned host buffers permanently
+        # (verified: reuse there corrupts the hint), so the CPU path
+        # allocates fresh buffers per chunk — it only serves tests.
+        reuse_bufs = not interpret
+        pack_bufs: list = [(None, None), (None, None)]
+        in_flight: list = [(), ()]
+        pack_cpu0 = _time.thread_time()
         with telemetry.span(
             "server_setup.stream_pack_upload_fold", chunks=n_chunks, m=m, cols=cols
         ):
@@ -254,15 +269,29 @@ class Server:
                 if j is None:
                     break
                 r0 = j * cc
+                slot = j % 2
                 t0 = _time.perf_counter()
+                for dev_arr in in_flight[slot]:
+                    dev_arr.block_until_ready()
+                phase["put"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                c0 = _time.thread_time()
                 lo_host, hi_host = _native_eng.build_packed_planes(
-                    mat16[r0 : r0 + cc], cc, c_pad, pack, bits, tight_lo=True
+                    mat16[r0 : r0 + cc], cc, c_pad, pack, bits, tight_lo=True,
+                    out=pack_bufs[slot] if reuse_bufs else None,
                 )
+                if reuse_bufs:
+                    pack_bufs[slot] = (lo_host, hi_host)
                 phase["pack"] += _time.perf_counter() - t0
+                phase["pack_cpu"] = phase.get("pack_cpu", 0.0) + (
+                    _time.thread_time() - c0
+                )
                 upload_bytes += lo_host.nbytes + (hi_host.nbytes if hb > 0 else 0)
                 t0 = _time.perf_counter()
                 lo_c = jax.device_put(lo_host)
                 hi_c = jax.device_put(hi_host) if hb > 0 else None
+                if reuse_bufs:
+                    in_flight[slot] = (lo_c,) + ((hi_c,) if hb > 0 else ())
                 phase["put"] += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
                 blk0_words, offset = prg_jax.fp_block_start(r0, LWE_DIMENSION)
@@ -312,6 +341,7 @@ class Server:
                 "runtime": round(max(proc_cpu - main_cpu - worker_cpu, 0.0), 2),
                 "external": round(max(wall - proc_cpu, 0.0), 2),
             },
+            "worker_minflt": worker_stats.get("worker_minflt"),
         }
         return server, hint, filt
 

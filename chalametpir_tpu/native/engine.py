@@ -463,14 +463,22 @@ def mix_row_mask(h: int, cols: int, mask: int) -> np.ndarray:
 
 def build_packed_planes(
     mat: np.ndarray, m_pad: int, c_pad: int, pack: int, bits: int,
-    tight_lo: bool = False,
+    tight_lo: bool = False, out=None,
 ):
     """One-pass construction of (lo, hi_packed) host planes for the Pallas
     respond layout; hi is None when pack == 0. Accepts the uint16 D matrix
     (the storage format) or uint32 (legacy/tests).
 
     tight_lo (uint16 path only): emit lo as (m, c) with no padding — the
-    caller pads on device so zero columns never cross the host link."""
+    caller pads on device so zero columns never cross the host link.
+
+    out: a (lo, hi) pair from a previous same-shape call to write into
+    instead of allocating fresh buffers. The streaming setup reuses two
+    pairs round-robin: per-chunk MAP_POPULATE allocations degrade badly
+    late in a long-lived jax process (measured in BENCH r5: the arity-4
+    row, which always runs late, paid ~45 s of extra main+worker CPU at
+    2^20 that a fresh process does not). The caller must not reuse a
+    pair until the device transfers reading it have completed."""
     m, c = mat.shape
     if mat.dtype == np.uint16:
         mat = np.ascontiguousarray(mat)
@@ -482,7 +490,18 @@ def build_packed_planes(
         mat = np.ascontiguousarray(mat, np.uint32)
         fn, ptr_t = _lib.build_packed_planes, _u32p
         lo_rows, lo_stride = m_pad, c_pad
-    lo = alloc_array((lo_rows, lo_stride), np.int8)
+    pc = (c_pad // pack if pack > 1 else c_pad) if pack else 0
+    if out is not None and out[0] is not None:
+        lo, hi = out
+        if lo.shape != (lo_rows, lo_stride) or (
+            pack != 0 and (hi is None or hi.shape != (m_pad, pc))
+        ):
+            raise ValueError("out buffers do not match the requested shape")
+        if hi is not None:
+            hi.fill(0)  # the hi pack ORs field-by-field into zeroed words
+    else:
+        lo = alloc_array((lo_rows, lo_stride), np.int8)
+        hi = alloc_array((m_pad, pc), np.uint8) if pack else None
     if lo_rows > m:
         # padded rows hold biased -128 == value zero (exact for any query,
         # not just zero-padded ones — the hint folds rely on this)
@@ -493,8 +512,6 @@ def build_packed_planes(
             ctypes.cast(None, _u8p), 0, 0,
         )
         return lo, None
-    pc = c_pad // pack if pack > 1 else c_pad
-    hi = alloc_array((m_pad, pc), np.uint8)
     fn(
         _ptr(mat, ptr_t), m, c, lo_stride, c_pad, _ptr(lo, _i8p), _ptr(hi, _u8p), pack, bits
     )

@@ -64,13 +64,20 @@ def test_ternary_matvec_parity(rng):
 
 @pytest.mark.parametrize("arity", [3, 4])
 def test_peel_parity_with_python(arity, rng):
-    # both engines must produce *valid* peel orders (not necessarily equal)
+    # both engines must produce *valid* peel orders (not necessarily
+    # equal). A single seed can legitimately stall the peel (that is why
+    # construct_filter retries with fresh seeds, params.rs:10) — mirror
+    # that contract instead of asserting one-shot success.
     n = 1 << 10
     digests = rng.integers(0, 1 << 64, size=(n, 4), dtype=np.uint64)
     seg_len, seg_cnt_len, num_fp = filter_geometry(arity, n)
-    hashes = np.sort(hashing.mix256(digests, rng.bytes(32)))
-    got = native.bff_peel(hashes, num_fp, arity, seg_len, seg_cnt_len)
-    assert got is not None
+    got = None
+    for _ in range(20):
+        hashes = np.sort(hashing.mix256(digests, rng.bytes(32)))
+        got = native.bff_peel(hashes, num_fp, arity, seg_len, seg_cnt_len)
+        if got is not None:
+            break
+    assert got is not None, "peel stalled for 20 independent seeds"
     reverse_order, reverse_h = got
     assert sorted(reverse_order.tolist()) == sorted(hashes.tolist())
     assert (reverse_h < arity).all()
@@ -137,3 +144,36 @@ def test_chacha8_block_known_vector():
     limit = 0xFFFFFFFF - (0xFFFFFFFF % 3)
     expected = [int(v) % 3 for v in words if int(v) < limit][:16]
     assert native.chacha8_ternary(bytes(32), 16).tolist() == expected
+
+
+def test_build_packed_planes_out_reuse_matches_fresh(rng):
+    """Reused (out=) pack buffers must produce byte-identical planes to
+    fresh allocations — including the hi plane, which is OR-accumulated
+    and must be rezeroed on reuse."""
+    from chalametpir_tpu.native import engine
+
+    m, c, c_pad, pack, bits = 96, 100, 128, 8, 1
+    mats = [
+        np.ascontiguousarray(
+            rng.integers(0, 1 << 9, size=(m, c), dtype=np.uint16)
+        )
+        for _ in range(3)
+    ]
+    fresh = [
+        engine.build_packed_planes(mt, m, c_pad, pack, bits, tight_lo=True)
+        for mt in mats
+    ]
+    bufs = (None, None)
+    for i, mt in enumerate(mats):
+        bufs = engine.build_packed_planes(
+            mt, m, c_pad, pack, bits, tight_lo=True, out=bufs
+        )
+        assert np.array_equal(bufs[0], fresh[i][0])
+        assert np.array_equal(bufs[1], fresh[i][1])
+    # shape-mismatched reuse is rejected, not silently corrupted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.build_packed_planes(
+            mats[0][:, :64], m, 64, pack, bits, tight_lo=True, out=bufs
+        )

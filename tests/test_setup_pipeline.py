@@ -72,3 +72,36 @@ def test_ctr_chunk_cols_even_division():
         assert m_pad - m < n_chunks * tile_k + tile_k
         # chunks stay near the 2^17 target, never above one tile over it
         assert cc <= _CTR_CHUNK_COLS + tile_k
+
+
+def test_pipelined_setup_multichunk_buffer_reuse(rng, monkeypatch):
+    """Force a multi-chunk pipeline so the round-robin pack-buffer reuse
+    (native.engine.build_packed_planes out=) actually cycles: chunks 3+
+    rewrite a buffer a prior device_put read from. Must still match the
+    numpy oracle byte-for-byte — this is the guard against device_put
+    aliasing the reused host memory."""
+    from chalametpir_tpu.models import server as server_mod
+
+    monkeypatch.setattr(server_mod, "_CTR_CHUNK_COLS", 512)
+    db = generate_random_kv_database(8192, rng=rng, value_byte_len=(1, 64))
+    seed = rng.bytes(32)
+    server_jax, hint_jax, fp_jax = Server.setup(
+        seed, db, arity=3, backend="jax", prg_mode="ctr",
+        rng=np.random.default_rng(11),
+    )
+    assert server_jax._layout == "packed"
+    # the forced chunk size must actually have produced several chunks
+    from chalametpir_tpu.core.filter import filter_geometry
+
+    _, _, num_fp = filter_geometry(3, len(db))
+    assert -(-num_fp // server_mod._ctr_chunk_cols(num_fp, 2048)) >= 3
+    server_np, hint_np, fp_np = Server.setup(
+        seed, db, arity=3, backend="numpy", prg_mode="ctr",
+        rng=np.random.default_rng(11),
+    )
+    assert fp_jax == fp_np
+    assert hint_jax == hint_np
+    q = np.random.default_rng(3).integers(
+        0, 1 << 32, size=(2, server_np.num_query_cols), dtype=np.uint32
+    )
+    assert np.array_equal(server_jax.respond_batch(q), server_np.respond_batch(q))
