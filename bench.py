@@ -420,6 +420,8 @@ def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
         # CPU-driven tunnel transfer) + external(core held elsewhere) by
         # construction — the round-4 "unlabeled 80%" is now labeled
         rec["server_setup_cpu_s"] = stats["cpu_s"]
+    if stats.get("worker_minflt") is not None:
+        rec["server_setup_worker_minflt"] = stats["worker_minflt"]
 
     # --- respond scan (the headline): measured before any client work so a
     # timeout can never eat it. Uses synthetic uniform queries — the scan
@@ -567,6 +569,9 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
         rec["client_setup_xof_s"] = cstats["a_expand_s"]
     if cstats.get("cpu_s") is not None:
         rec["client_setup_cpu_s"] = cstats["cpu_s"]
+    if cstats.get("sys_s") is not None:
+        rec["client_setup_sys_s"] = cstats["sys_s"]
+        rec["client_setup_minflt"] = cstats.get("minflt")
     log(f"2^{log_n} a{arity}: client_setup {rec['client_setup_s']}s "
         f"(device={client.uses_device}, xof={cstats.get('a_expand_s')}, "
         f"cpu={cstats.get('cpu_s')})")
@@ -1087,7 +1092,7 @@ def main() -> None:
         res["headline_stall_s"] = round(ext, 1)
         log(f"headline setup stalled externally {ext:.0f}s (cold compile / "
             f"co-tenant); crediting {credit:.0f}s back to the budget")
-        global T_START
+        # T_START is already declared global in this scope (init-stall block)
         T_START += credit
 
     # 2. headline-size arity-4 row, immediately after the arity-3 headline:

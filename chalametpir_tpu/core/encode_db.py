@@ -154,13 +154,19 @@ def from_kv_database_streaming(
     progress = np.zeros(n_chunks, np.int64)
     # rows are padded to whole chunks (zeros) so every chunk the consumer
     # packs/uploads has the same shape — one compiled device program.
-    # Lazily-zeroed pages (calloc), NOT alloc_array's MAP_POPULATE: under a
-    # fragmented heap (the million-entry db dict) a synchronous populate
-    # stalls many seconds in THP compaction, while first-touch faults land
-    # on the encode worker thread, whose whole pass is hidden behind the
-    # chunk uploads anyway.
+    # NOHUGEPAGE + in-kernel populate: both the plain MAP_POPULATE and
+    # lazy first-touch fills degrade ~10x late in a long-lived jax
+    # process (r5 bench: the 2^22 encode's 8.5 GB first-touch burned
+    # ~190 s of worker CPU at +8 min process age; huge-page direct
+    # compaction on a fragmented heap). Opting the range out of THP
+    # makes the fill compaction-immune and front-loads it here, where
+    # it is measured, instead of scattering it over the worker's pass.
     with telemetry.span("encode_stream.alloc", mb=n_chunks * chunk_rows * cols * 2 >> 20):
-        mat = np.zeros((n_chunks * chunk_rows, cols), np.uint16)
+        mat = (
+            _native.alloc_array((n_chunks * chunk_rows, cols), np.uint16, nothp=True)
+            if _native is not None
+            else np.zeros((n_chunks * chunk_rows, cols), np.uint16)
+        )
 
     def _worker_main():
         # the worker's CPU seconds feed the setup attribution (bench

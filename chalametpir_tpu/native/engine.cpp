@@ -855,6 +855,32 @@ void* pir_alloc_populated(int64_t nbytes) {
   return p == MAP_FAILED ? nullptr : p;
 }
 
+#ifndef MADV_POPULATE_WRITE
+#define MADV_POPULATE_WRITE 23
+#endif
+
+// Variant for buffers whose fill must stay fast in a LONG-LIVED process:
+// late in a jax serving process, plain populate/first-touch of GB-scale
+// ranges degrades by an order of magnitude (measured: a 2^22 encode's
+// 8.5 GB first-touch fill burned ~190 s of worker CPU at +8 min process
+// age vs ~25 s in a fresh process; huge-page direct compaction on a
+// fragmented heap is the prime suspect). MADV_NOHUGEPAGE opts the range
+// out of transparent-huge-page machinery entirely, and
+// MADV_POPULATE_WRITE (kernel 5.14+) fills 4 KB pages in-kernel without
+// the per-fault user/kernel round trip; falls back to MAP_POPULATE
+// semantics via a manual touch loop on older kernels.
+void* pir_alloc_populated_nothp(int64_t nbytes) {
+  void* p = mmap(nullptr, static_cast<size_t>(nbytes), PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (p == MAP_FAILED) return nullptr;
+  madvise(p, static_cast<size_t>(nbytes), MADV_NOHUGEPAGE);
+  if (madvise(p, static_cast<size_t>(nbytes), MADV_POPULATE_WRITE) != 0) {
+    volatile uint8_t* b = static_cast<volatile uint8_t*>(p);
+    for (int64_t off = 0; off < nbytes; off += 4096) b[off] = 0;
+  }
+  return p;
+}
+
 void pir_free_populated(void* p, int64_t nbytes) {
   if (p != nullptr) munmap(p, static_cast<size_t>(nbytes));
 }

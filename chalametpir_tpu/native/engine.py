@@ -147,6 +147,8 @@ _lib.client_process_response_wire.argtypes = [
 ]
 _lib.pir_alloc_populated.restype = ctypes.c_void_p
 _lib.pir_alloc_populated.argtypes = [ctypes.c_int64]
+_lib.pir_alloc_populated_nothp.restype = ctypes.c_void_p
+_lib.pir_alloc_populated_nothp.argtypes = [ctypes.c_int64]
 _lib.pir_free_populated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 _lib.build_packed_planes.argtypes = [
     _u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -154,17 +156,25 @@ _lib.build_packed_planes.argtypes = [
 ]
 
 
-def alloc_array(shape, dtype) -> np.ndarray:
+def alloc_array(shape, dtype, nothp: bool = False) -> np.ndarray:
     """Zero-filled numpy array over a MAP_POPULATE mapping — use for
     GB-scale buffers (demand paging on this class of VM makes filling a
-    plain np.empty several times slower)."""
+    plain np.empty several times slower).
+
+    nothp=True additionally opts the range out of transparent huge pages
+    and fills it via MADV_POPULATE_WRITE: in a long-lived jax process the
+    plain populate/first-touch path degrades ~10x (huge-page direct
+    compaction on a fragmented heap), which made every late-running
+    GB-scale setup pay minutes — use for setup-time buffers whose fill
+    time matters more than the read-path TLB win."""
     dtype = np.dtype(dtype)
     nbytes = int(np.prod(shape)) * dtype.itemsize
     # threshold: one mmap+populate syscall costs ~0.5 ms of setup but fills
     # pages ~10x faster than fault-on-write on this VM; break-even ~1 MB
     if nbytes < (1 << 20):
         return np.zeros(shape, dtype)
-    ptr = _lib.pir_alloc_populated(nbytes)
+    alloc = _lib.pir_alloc_populated_nothp if nothp else _lib.pir_alloc_populated
+    ptr = alloc(nbytes)
     if not ptr:
         return np.zeros(shape, dtype)
     raw = (ctypes.c_uint8 * nbytes).from_address(ptr)
@@ -188,7 +198,9 @@ class XofStream:
         self._handle = _lib.ts128_xof_new(_ptr(buf, _u8p), len(seed))
 
     def squeeze(self, n: int) -> np.ndarray:
-        out = alloc_array((n,), np.uint8)
+        # nothp: the multi-GB stream-mode A expansion is a setup-time fill
+        # (the r5 bench measured a 20x degraded populate late in-process)
+        out = alloc_array((n,), np.uint8, nothp=True)
         _lib.ts128_xof_squeeze(self._handle, _ptr(out, _u8p), n)
         return out
 
@@ -211,7 +223,7 @@ def ctr_expand(seed: bytes, block0: int, nblocks: int) -> np.ndarray:
     """Counter-mode expansion: (nblocks, 168) uint8, block i =
     TurboSHAKE128(seed || LE64(block0 + i))[:168]."""
     buf = np.frombuffer(seed, np.uint8)
-    out = alloc_array((nblocks, 168), np.uint8)
+    out = alloc_array((nblocks, 168), np.uint8, nothp=True)
     _lib.ts128_ctr_expand(_ptr(buf, _u8p), len(seed), block0, nblocks, _ptr(out, _u8p))
     return out
 
@@ -302,7 +314,7 @@ def encode_assemble_rows16(
     ki = np.ascontiguousarray(key_index, np.int64)
     ro = np.ascontiguousarray(reverse_order, np.uint64)
     rh = np.ascontiguousarray(reverse_h, np.uint8)
-    mat = alloc_array((num_fp, cols), np.uint16)
+    mat = alloc_array((num_fp, cols), np.uint16, nothp=True)
     _lib.encode_assemble_rows16(
         _ptr(digests, _u8p), value_ptrs, _ptr(value_lens, _i64p),
         _ptr(ki, _i64p), _ptr(ro, _u64p), _ptr(rh, _u8p),
@@ -500,8 +512,8 @@ def build_packed_planes(
         if hi is not None:
             hi.fill(0)  # the hi pack ORs field-by-field into zeroed words
     else:
-        lo = alloc_array((lo_rows, lo_stride), np.int8)
-        hi = alloc_array((m_pad, pc), np.uint8) if pack else None
+        lo = alloc_array((lo_rows, lo_stride), np.int8, nothp=True)
+        hi = alloc_array((m_pad, pc), np.uint8, nothp=True) if pack else None
     if lo_rows > m:
         # padded rows hold biased -128 == value zero (exact for any query,
         # not just zero-padded ones — the hint folds rely on this)
