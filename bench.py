@@ -958,6 +958,32 @@ def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
     return rec
 
 
+_VMSTAT_KEYS = (
+    "compact_stall", "compact_fail", "compact_success",
+    "allocstall_movable", "allocstall_normal",
+    "pgsteal_direct", "pgscan_direct", "thp_fault_alloc",
+    "thp_collapse_alloc", "pgmajfault",
+)
+
+
+def _vmstat_snapshot() -> dict:
+    """Kernel memory-management counters: the r5 attribution showed
+    per-page populate cost degrading 1.2 -> 27 us as the process ages;
+    the delta of these counters across the run decides between direct
+    compaction, direct reclaim, and neither (in which case the cost is
+    in the page-charge path itself)."""
+    out = {}
+    try:
+        with open("/proc/vmstat") as f:
+            for line in f:
+                k, _, v = line.partition(" ")
+                if k in _VMSTAT_KEYS:
+                    out[k] = int(v)
+    except OSError:
+        pass
+    return out
+
+
 def _probe_link():
     """Measure the host<->device link once: h2d rate, d2h rate, and the
     tiny-transfer round-trip constant. Random payloads — the tunnel
@@ -1010,6 +1036,23 @@ def main() -> None:
 
     telemetry.set_trace(True)  # phase spans on stderr
     compile_cache.enable_compile_cache()
+    vm0 = _vmstat_snapshot()
+    import atexit
+
+    def _record_vmstat():
+        vm1 = _vmstat_snapshot()
+        delta = {k: vm1[k] - vm0.get(k, 0) for k in vm1}
+        log(f"vmstat deltas: {delta}")
+        try:
+            with open(FULL_PATH) as f:
+                fat = json.load(f)
+            fat["vmstat_delta"] = delta
+            with open(FULL_PATH, "w") as f:
+                json.dump(fat, f, indent=1)
+        except Exception:
+            pass
+
+    atexit.register(_record_vmstat)
 
     rng = np.random.default_rng(0xBEEF)
 
@@ -1179,27 +1222,11 @@ def main() -> None:
         run_stage(16, 4, "ctr", need=35, batch=16)
         run_stage(18, 4, "ctr", need=55, batch=16)
 
-    # 6. the flagship-size stream-mode (interop) row, or its explicit
-    #    skip record: stream setup ships A (4 * 1774 * m bytes) plus the
-    #    packed DB through the tunnel, so the projection is measured-rate
-    #    based; when unaffordable, the artifact carries the projection
-    #    instead of silence (r4 verdict demand #5)
-    if RUN_MATRIX and RUN_STREAM and LOG_N == 20:
-        from chalametpir_tpu.core.filter import filter_geometry
-
-        _, _, m20 = filter_geometry(3, 1 << 20)
-        # A (4*1774*m) + the packed DB planes (~1.07 kB/fingerprint at the
-        # headline geometry) all cross the tunnel in stream mode
-        stream_gb = (4 * 1774 * m20 + 1070 * m20) / 1e9
-        need20s = stream_gb / h2d + 120
-        run_stage(20, 3, "stream", need=need20s, batch=16,
-                  client_device=False,
-                  need_note=f"projected ~{need20s:.0f}s (~{stream_gb:.1f} GB "
-                            f"A+DB ship at measured h2d {h2d:.4f} GB/s)")
-
-    # 7. real-setup scaling anchor above 2^20 (single chip; default 2^22 =
+    # 6. real-setup scaling anchor above 2^20 (single chip; default 2^22 =
     #    the BASELINE config-5 regime's real-chain certificate, with a
-    #    retrieved-value assert)
+    #    retrieved-value assert). Runs BEFORE the flagship stream row:
+    #    the r4 verdict demands this one driver-recorded, while the
+    #    stream row's skip-projection is an accepted artifact.
     scale_default = "22" if LOG_N >= 20 else "0"
     scale_log_n = int(os.environ.get("PIR_BENCH_SCALING_LOG_N", scale_default))
     if scale_log_n:
@@ -1236,6 +1263,24 @@ def main() -> None:
         STATE["scaling"].append(_compact(rec))
         STATE.setdefault("scaling_fat", []).append(rec)
         emit_state()
+
+    # 7. the flagship-size stream-mode (interop) row, or its explicit
+    #    skip record: stream setup ships A (4 * 1774 * m bytes) plus the
+    #    packed DB through the tunnel, so the projection is measured-rate
+    #    based; when unaffordable, the artifact carries the projection
+    #    instead of silence (r4 verdict demand #5)
+    if RUN_MATRIX and RUN_STREAM and LOG_N == 20:
+        from chalametpir_tpu.core.filter import filter_geometry
+
+        _, _, m20 = filter_geometry(3, 1 << 20)
+        # A (4*1774*m) + the packed DB planes (~1.07 kB/fingerprint at the
+        # headline geometry) all cross the tunnel in stream mode
+        stream_gb = (4 * 1774 * m20 + 1070 * m20) / 1e9
+        need20s = stream_gb / h2d + 120
+        run_stage(20, 3, "stream", need=need20s, batch=16,
+                  client_device=False,
+                  need_note=f"projected ~{need20s:.0f}s (~{stream_gb:.1f} GB "
+                            f"A+DB ship at measured h2d {h2d:.4f} GB/s)")
 
 if __name__ == "__main__":
     main()

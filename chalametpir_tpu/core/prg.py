@@ -98,11 +98,30 @@ def _ctr_blocks(seed: bytes, block0: int, nblocks: int) -> np.ndarray:
     return turboshake128_batch(msgs, lengths, RATE)
 
 
-def expand_seed(rows: int, cols: int, seed: bytes, mode: str = "stream") -> np.ndarray:
+def expand_seed(
+    rows: int, cols: int, seed: bytes, mode: str = "stream",
+    stats: dict | None = None,
+) -> np.ndarray:
     """Full (rows, cols) uint32 matrix A.
 
     stream mode reads the XOF row-major (reference matrix.rs:541-558);
-    ctr mode is fingerprint-major: A[r, c] = word[c * rows + r]."""
+    ctr mode is fingerprint-major: A[r, c] = word[c * rows + r].
+
+    stats (optional) receives alloc_s/xof_s for the native stream path,
+    separating buffer-fill cost (kernel page charging, which degrades in
+    long-lived processes) from sponge compute."""
+    if mode == "stream" and _native is not None:
+        import time as _t
+
+        t0 = _t.perf_counter()
+        out = _native.alloc_array((rows * cols * 4,), np.uint8, nothp=True)
+        t1 = _t.perf_counter()
+        stream = _native.XofStream(seed)
+        stream.squeeze_into(out)
+        if stats is not None:
+            stats["alloc_s"] = round(t1 - t0, 2)
+            stats["xof_s"] = round(_t.perf_counter() - t1, 2)
+        return out.view("<u4").reshape(rows, cols)
     words = SeedStream(seed, mode).read_u32(rows * cols)
     if mode == "ctr":
         return np.ascontiguousarray(words.reshape(cols, rows).T)

@@ -161,7 +161,7 @@ class Client:
                 else:
                     t0 = _t.perf_counter()
                     a_host = prg.expand_seed(
-                        LWE_DIMENSION, m, seed, mode=prg_mode
+                        LWE_DIMENSION, m, seed, mode=prg_mode, stats=stats
                     )
                     stats["a_expand_s"] = round(_t.perf_counter() - t0, 2)
                     engine = DeviceQueryEngine.from_host_matrix(a_host)
@@ -204,7 +204,8 @@ class Client:
             else:
                 t0 = _t.perf_counter()
                 pub_mat_a = prg.expand_seed(
-                    LWE_DIMENSION, filt.num_fingerprints, seed, mode=prg_mode
+                    LWE_DIMENSION, filt.num_fingerprints, seed,
+                    mode=prg_mode, stats=stats,
                 )
                 stats["a_expand_s"] = round(_t.perf_counter() - t0, 2)
             client = cls(

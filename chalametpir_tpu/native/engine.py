@@ -207,6 +207,13 @@ class XofStream:
     def squeeze_u32(self, count: int) -> np.ndarray:
         return self.squeeze(count * 4).view("<u4")
 
+    def squeeze_into(self, out: np.ndarray) -> None:
+        """Squeeze directly into a caller-allocated buffer (lets callers
+        time allocation and XOF separately — the r5 bench showed the
+        late-process allocation cost dominating and masquerading as
+        "slow XOF")."""
+        _lib.ts128_xof_squeeze(self._handle, _ptr(out, _u8p), out.nbytes)
+
     def __del__(self):
         handle = getattr(self, "_handle", None)
         # _lib may already be torn down at interpreter shutdown
