@@ -195,6 +195,7 @@ def emit_state() -> None:
             "tunnel": {"h2d_GBps": H2D_RATE, "d2h_GBps": D2H_RATE, "rtt_ms": RTT_MS},
             "rows": STATE["fat_rows"],
             "scaling": STATE["scaling_fat"] if STATE.get("scaling_fat") else STATE["scaling"],
+            "extra": STATE.get("extra_fat", []),
             "check_tpu": STATE["check_tpu"],
         }
         with open(FULL_PATH, "w") as f:
@@ -572,6 +573,10 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
     if cstats.get("sys_s") is not None:
         rec["client_setup_sys_s"] = cstats["sys_s"]
         rec["client_setup_minflt"] = cstats.get("minflt")
+    if cstats.get("alloc_s") is not None:
+        # expand_seed alloc-vs-sponge split (core/prg.py)
+        rec["client_setup_alloc_s"] = cstats["alloc_s"]
+        rec["client_setup_sponge_s"] = cstats.get("xof_s")
     log(f"2^{log_n} a{arity}: client_setup {rec['client_setup_s']}s "
         f"(device={client.uses_device}, xof={cstats.get('a_expand_s')}, "
         f"cpu={cstats.get('cpu_s')})")
@@ -1201,7 +1206,9 @@ def main() -> None:
         except Exception as e:
             log(f"serve_qps failed: {e!r}")
             rec = {"config": "serve 2^16", "error": repr(e)}
-        STATE["fat_rows"].append(rec)
+        # NOT fat_rows: update_row() indexes rows/fat_rows in lockstep, so
+        # an unpaired append would be overwritten by the next stage
+        STATE.setdefault("extra_fat", []).append(rec)
         emit_state()
 
     # 6. the divan small-config matrix + the stream-mode (interop) rows.

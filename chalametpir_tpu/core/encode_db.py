@@ -154,19 +154,18 @@ def from_kv_database_streaming(
     progress = np.zeros(n_chunks, np.int64)
     # rows are padded to whole chunks (zeros) so every chunk the consumer
     # packs/uploads has the same shape — one compiled device program.
-    # NOHUGEPAGE + in-kernel populate: both the plain MAP_POPULATE and
-    # lazy first-touch fills degrade ~10x late in a long-lived jax
-    # process (r5 bench: the 2^22 encode's 8.5 GB first-touch burned
-    # ~190 s of worker CPU at +8 min process age; huge-page direct
-    # compaction on a fragmented heap). Opting the range out of THP
-    # makes the fill compaction-immune and front-loads it here, where
-    # it is measured, instead of scattering it over the worker's pass.
+    # LAZY zeros, deliberately: once the jax/axon runtime is live in a
+    # process, EVERY new page mapping costs 27-172 us of sys time (vs
+    # ~1.2 us fresh — r5 bench, sys-dominated with minflt == page count;
+    # THP ruled out, NOHUGEPAGE+MADV_POPULATE_WRITE measured identically
+    # degraded, and MADV_HUGEPAGE populate is pathological here: 239 s
+    # for 2 GB). A front-loaded populate of this GB-scale matrix
+    # serializes that cost (measured 358 s at 2^22); lazy first-touch
+    # lands it on the encode worker thread instead, where it overlaps
+    # the chunk uploads that bound the pipeline anyway. The worker's
+    # cpu/minflt stats keep the cost attributed.
     with telemetry.span("encode_stream.alloc", mb=n_chunks * chunk_rows * cols * 2 >> 20):
-        mat = (
-            _native.alloc_array((n_chunks * chunk_rows, cols), np.uint16, nothp=True)
-            if _native is not None
-            else np.zeros((n_chunks * chunk_rows, cols), np.uint16)
-        )
+        mat = np.zeros((n_chunks * chunk_rows, cols), np.uint16)
 
     def _worker_main():
         # the worker's CPU seconds feed the setup attribution (bench

@@ -149,6 +149,8 @@ _lib.pir_alloc_populated.restype = ctypes.c_void_p
 _lib.pir_alloc_populated.argtypes = [ctypes.c_int64]
 _lib.pir_alloc_populated_nothp.restype = ctypes.c_void_p
 _lib.pir_alloc_populated_nothp.argtypes = [ctypes.c_int64]
+_lib.pir_alloc_populated_huge.restype = ctypes.c_void_p
+_lib.pir_alloc_populated_huge.argtypes = [ctypes.c_int64]
 _lib.pir_free_populated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 _lib.build_packed_planes.argtypes = [
     _u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -156,7 +158,7 @@ _lib.build_packed_planes.argtypes = [
 ]
 
 
-def alloc_array(shape, dtype, nothp: bool = False) -> np.ndarray:
+def alloc_array(shape, dtype, nothp: bool = False, huge: bool = False) -> np.ndarray:
     """Zero-filled numpy array over a MAP_POPULATE mapping — use for
     GB-scale buffers (demand paging on this class of VM makes filling a
     plain np.empty several times slower).
@@ -173,7 +175,12 @@ def alloc_array(shape, dtype, nothp: bool = False) -> np.ndarray:
     # pages ~10x faster than fault-on-write on this VM; break-even ~1 MB
     if nbytes < (1 << 20):
         return np.zeros(shape, dtype)
-    alloc = _lib.pir_alloc_populated_nothp if nothp else _lib.pir_alloc_populated
+    if huge:
+        alloc = _lib.pir_alloc_populated_huge
+    elif nothp:
+        alloc = _lib.pir_alloc_populated_nothp
+    else:
+        alloc = _lib.pir_alloc_populated
     ptr = alloc(nbytes)
     if not ptr:
         return np.zeros(shape, dtype)
