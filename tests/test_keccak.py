@@ -14,14 +14,31 @@ from chalametpir_tpu.core.keccak import (
     turboshake128_batch,
 )
 
-# Published TurboSHAKE128 test vector (D=0x1F, empty message).
+# Published TurboSHAKE128 test vectors (draft-irtf-cfrg-kangarootwelve).
 TS128_EMPTY_1F = bytes.fromhex(
     "1e415f1c5983aff2169217277d17bb538cd945a397ddec541f1ce41af2c1b74c"
+)
+# M = ptn(1) = b"\x00" (the draft's repeating 0x00..0xFA pattern, length 17^0).
+TS128_PTN1_1F = bytes.fromhex(
+    "55cedd6f60af7bb29a4042ae832ef3f58db7299f893ebb9247247d856958daa9"
+)
+# Last 32 of a 10032-byte squeeze of the empty message — pins the squeeze
+# loop across ~60 rate blocks, far past any >336 B edge case.
+TS128_EMPTY_1F_10032_LAST32 = bytes.fromhex(
+    "a3b9b0385900ce761f22aed548e754da10a5242d62e8c658e3f3a923a7555607"
 )
 
 
 def test_published_vector():
     assert turboshake128(b"", 32) == TS128_EMPTY_1F
+
+
+def test_published_vector_ptn1():
+    assert turboshake128(b"\x00", 32) == TS128_PTN1_1F
+
+
+def test_published_vector_long_squeeze():
+    assert turboshake128(b"", 10032)[-32:] == TS128_EMPTY_1F_10032_LAST32
 
 
 @pytest.mark.parametrize("msg_len", [0, 1, 31, 32, 167, 168, 169, 335, 336, 1000])
