@@ -86,6 +86,48 @@ def make_multihost_mesh(model: int | None = None, data: int = 1):
     return make_mesh(jax.devices(), data=data, model=model)
 
 
+def warmup_collectives(timeout_s: float = 240.0) -> None:
+    """Align every process at a coordination-service barrier, then form
+    the global communicator on a trivial psum.
+
+    XLA's gloo rendezvous gives a peer only ~30 s to show up at CONTEXT
+    initialization (a hardcoded key-value-get deadline inside the CPU
+    collectives); each process reaches its first real collective only
+    after independently compiling the whole sharded setup program, and on
+    a contended host that skew can exceed the window, failing the run
+    with "Gloo context initialization failed: DEADLINE_EXCEEDED". The
+    coordination-service barrier has a caller-chosen deadline, so we
+    align here and then run a one-element global psum: the communicator
+    for the all-devices clique forms while every process is within a
+    tiny-compile of the same point, and XLA caches communicators per
+    device clique, so every later hint/respond/broadcast collective
+    reuses it no matter how far the compile times drift.
+
+    No-op in a single-process runtime. On TPU pods the barrier still
+    aligns the processes; the warmup reduction rides ICI/DCN."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(
+            "chalametpir_warmup_collectives", timeout_in_ms=int(timeout_s * 1e3)
+        )
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_multihost_mesh(model=len(jax.devices()))
+    f = jax.jit(
+        jax.shard_map(
+            lambda x: jax.lax.psum(x, "model"),
+            mesh=mesh, in_specs=P("model"), out_specs=P(),
+        )
+    )
+    f(np.ones((len(jax.devices()), 1), np.int32)).block_until_ready()
+
+
 def _payload_shape(n: int) -> int:
     """Collective payload size for an n-byte query: the next power of two
     (floor 4 KB). Every process derives this from the broadcast header

@@ -117,6 +117,13 @@ def worker(args) -> None:
     pid = jax.process_index()
     print(f"[p{pid}] joined: {len(jax.local_devices())} local / "
           f"{len(jax.devices())} global devices", flush=True)
+    # form the global communicator while the processes are aligned —
+    # otherwise the first collective (the hint psum inside setup) only
+    # happens after each process independently compiles the sharded
+    # program, and on a contended host that skew can blow gloo's ~30 s
+    # rendezvous window (see multihost.warmup_collectives)
+    multihost.warmup_collectives(timeout_s=args.timeout)
+    print(f"[p{pid}] collectives warmed", flush=True)
 
     import numpy as np
 
