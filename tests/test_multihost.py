@@ -45,6 +45,15 @@ def test_payload_shape_is_header_derived():
     assert _payload_shape((1 << 20) + 1) == 1 << 21
 
 
+def test_warmup_collectives_single_process_noop():
+    """In a single-process runtime there is no cross-process communicator
+    to form: warmup must return immediately without touching the
+    coordination service (which does not exist here)."""
+    from chalametpir_tpu.parallel import multihost
+
+    multihost.warmup_collectives(timeout_s=1.0)
+
+
 def test_initialize_rejects_partial_cluster_spec():
     """process_id/num_processes without a coordinator address must raise,
     not silently fall through to autodetection."""
