@@ -80,13 +80,16 @@ def test_two_process_sharded_round_trip():
         [
             sys.executable, "-m", "chalametpir_tpu.parallel.multihost_demo",
             "--launch", "2", "--coordinator", f"127.0.0.1:{port}",
-            "--entries", "300", "--timeout", "220",
+            "--entries", "300", "--timeout", "420",
         ],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         start_new_session=True,
     )
     try:
-        out, err = proc.communicate(timeout=260)
+        # generous: ~45 s on a quiet host, but a contended 1-core host has
+        # been observed to run the whole suite 3.5x slower, and two
+        # processes compiling the sharded program time-share that core
+        out, err = proc.communicate(timeout=460)
     except subprocess.TimeoutExpired:
         os.killpg(proc.pid, signal.SIGKILL)
         out, err = proc.communicate()
@@ -113,14 +116,14 @@ def test_two_process_tcp_serving_round_trip(tmp_path):
         [
             sys.executable, "-m", "chalametpir_tpu.parallel.multihost_demo",
             "--launch", "2", "--coordinator", f"127.0.0.1:{port_coord}",
-            "--entries", "300", "--timeout", "220",
+            "--entries", "300", "--timeout", "420",
             "--tcp-queries", "2", "--port-file", port_file,
         ],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         start_new_session=True,
     )
     try:
-        deadline = time.time() + 200
+        deadline = time.time() + 400
         port = None
         while time.time() < deadline and proc.poll() is None:
             if os.path.exists(port_file):
@@ -140,7 +143,7 @@ def test_two_process_tcp_serving_round_trip(tmp_path):
         results = asyncio.run(fetch("127.0.0.1", port, keys, prg_mode="ctr"))
         for k in keys:
             assert results[k] == db[k]
-        out, err = proc.communicate(timeout=120)
+        out, err = proc.communicate(timeout=180)
     except BaseException:
         os.killpg(proc.pid, signal.SIGKILL)
         proc.communicate()
