@@ -86,6 +86,7 @@ RUN_CHECK_TPU = os.environ.get("PIR_BENCH_CHECK_TPU", "1") not in ("0", "")
 PRG_MODE = os.environ.get("PIR_BENCH_PRG", "ctr")
 
 BASELINE_RESPOND_GBPS = 102.51  # m8g.8xlarge, README.md:60-61
+PROC_START = time.perf_counter()  # never restarted: total-wall accounting
 T_START = time.perf_counter()
 H2D_RATE: float | None = None  # GB/s, measured once in main()
 D2H_RATE: float | None = None  # GB/s
@@ -200,8 +201,16 @@ def emit_state() -> None:
         }
         with open(FULL_PATH, "w") as f:
             json.dump(fat, f, indent=1)
+        global _FULL_WRITTEN
+        _FULL_WRITTEN = True
     except Exception as e:  # the stdout artifact must never die to disk I/O
         log(f"BENCH_FULL.json write failed: {e!r}")
+
+
+# has THIS run written FULL_PATH yet? Guards the atexit vmstat hook: a
+# run that dies before its first emit_state must not stamp its deltas
+# into a previous round's committed artifact.
+_FULL_WRITTEN = False
 
 
 def add_row(rec: dict) -> int:
@@ -938,6 +947,10 @@ def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
 
         # warm: compiles the (max_batch, m) respond once
         await asyncio.gather(*[pump(i, 1) for i in range(n_conns)])
+        # count only the timed phase so serve_queries/serve_batches
+        # reconcile with serve_qps * elapsed (warm traffic excluded)
+        warm_batches = pir._dispatcher.batches
+        warm_served = pir._dispatcher.served
         t0 = time.perf_counter()
         served = sum(await asyncio.gather(
             *[pump(i, per_conn) for i in range(n_conns)]
@@ -948,7 +961,8 @@ def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
         srv.close()
         await srv.wait_closed()
         await pir._dispatcher.aclose()
-        return served / dt, pir._dispatcher.batches, pir._dispatcher.served
+        return (served / dt, pir._dispatcher.batches - warm_batches,
+                pir._dispatcher.served - warm_served)
 
     qps, batches, total_served = asyncio.run(run())
     rec["serve_qps"] = round(qps, 1)
@@ -1048,6 +1062,10 @@ def main() -> None:
         vm1 = _vmstat_snapshot()
         delta = {k: vm1[k] - vm0.get(k, 0) for k in vm1}
         log(f"vmstat deltas: {delta}")
+        if not _FULL_WRITTEN:
+            # FULL_PATH still holds a PREVIOUS run's artifact (we died
+            # before the first emit_state) — don't contaminate it
+            return
         try:
             with open(FULL_PATH) as f:
                 fat = json.load(f)
@@ -1147,10 +1165,18 @@ def main() -> None:
     cpu0 = (STATE["fat_rows"][0].get("server_setup_cpu_s") or {}) if STATE["fat_rows"] else {}
     ext = cpu0.get("external", 0.0) or 0.0
     if ext > 180:
-        credit = min(ext - 60, 700.0)
+        # never credit past the TOTAL cap: an init stall may have already
+        # shrunk the budget to keep stall+work under cap, and an unclamped
+        # credit here would re-extend the wall ceiling past the harness
+        # timeout the cap exists to stay under
+        cap = float(os.environ.get("PIR_BENCH_TOTAL_CAP_S", "2100"))
+        elapsed = time.perf_counter() - PROC_START
+        headroom = max(0.0, cap - elapsed - max(0.0, left()))
+        credit = min(ext - 60, 700.0, headroom)
         res["headline_stall_s"] = round(ext, 1)
         log(f"headline setup stalled externally {ext:.0f}s (cold compile / "
-            f"co-tenant); crediting {credit:.0f}s back to the budget")
+            f"co-tenant); crediting {credit:.0f}s back to the budget "
+            f"(cap headroom {headroom:.0f}s)")
         # T_START is already declared global in this scope (init-stall block)
         T_START += credit
 
@@ -1199,13 +1225,20 @@ def main() -> None:
     # 5. online serving throughput through the real TCP surface (2^16 DB,
     #    ~45 s; the serve_qps field is a new r5 artifact demand, so it runs
     #    before the matrix re-validations)
-    if RUN_MATRIX and left() > 60:
-        try:
-            rec = _run_serve_qps(rng)
-            res["serve_qps"] = rec["serve_qps"]
-        except Exception as e:
-            log(f"serve_qps failed: {e!r}")
-            rec = {"config": "serve 2^16", "error": repr(e)}
+    if RUN_MATRIX:
+        if left() > 60:
+            try:
+                rec = _run_serve_qps(rng)
+                res["serve_qps"] = rec["serve_qps"]
+            except Exception as e:
+                log(f"serve_qps failed: {e!r}")
+                rec = {"config": "serve 2^16", "error": repr(e)}
+        else:
+            # same skip-with-reason convention as every other stage:
+            # absence must be explained by the artifact, not inferred
+            rec = {"config": "serve 2^16",
+                   "skipped": f"budget ({left():.0f}s left, needs ~60s)"}
+            log(f"serve_qps skipped: {rec['skipped']}")
         # NOT fat_rows: update_row() indexes rows/fat_rows in lockstep, so
         # an unpaired append would be overwritten by the next stage
         STATE.setdefault("extra_fat", []).append(rec)

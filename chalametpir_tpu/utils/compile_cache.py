@@ -36,7 +36,11 @@ emitted from a feature set whose positive entries all match — and the
 multi-KB error line (dozens of repeats per `make check`/dryrun) only
 buries real errors. The filter drops exactly those lines at the fd
 level and forwards everything else; CHALAMETPIR_KEEP_AOT_WARNINGS=1
-keeps them.
+keeps them. The filter is only installed for the DEFAULT cache dir —
+the benignity argument depends on its machine fingerprint; a
+user-supplied CHALAMETPIR_COMPILE_CACHE_DIR may be shared across
+heterogeneous hosts where the warning can be genuine, so it is never
+filtered there.
 
 Opt out with CHALAMETPIR_NO_COMPILE_CACHE=1 or point the cache somewhere
 else with CHALAMETPIR_COMPILE_CACHE_DIR.
@@ -80,6 +84,18 @@ def _suppress_benign_aot_warnings() -> None:
     except OSError:  # pragma: no cover - no fd 2 (daemonized)
         return
 
+    def write_all(data: bytes) -> None:
+        # the real stderr can be a non-blocking PTY under a test harness:
+        # EAGAIN is transient backpressure, not a dead fd — retry, never
+        # let one full buffer kill the pump and orphan fd 2
+        import time as _time
+
+        while data:
+            try:
+                data = data[os.write(orig, data):]
+            except BlockingIOError:
+                _time.sleep(0.01)
+
     def pump():
         buf = b""
         try:
@@ -91,16 +107,22 @@ def _suppress_benign_aot_warnings() -> None:
                 *lines, buf = buf.split(b"\n")
                 for ln in lines:
                     if not any(t in ln for t in _BENIGN_TOKENS):
-                        os.write(orig, ln + b"\n")
+                        write_all(ln + b"\n")
                 if len(buf) > (1 << 20):  # pathological unterminated line
-                    os.write(orig, buf)
+                    write_all(buf)
                     buf = b""
         except OSError:  # pragma: no cover - orig closed at teardown
-            pass
+            # the pump can no longer forward: put the real stderr back so
+            # the process's later writes to fd 2 don't hit a reader-less
+            # pipe (EPIPE on every print would crash serving)
+            try:
+                os.dup2(orig, 2)
+            except OSError:
+                pass
         finally:
             if buf:
                 try:
-                    os.write(orig, buf)
+                    write_all(buf)
                 except OSError:
                     pass
             os.close(r)
@@ -149,11 +171,18 @@ def enable_compile_cache() -> None:
         _DONE = True
         return
     _DONE = True
-    _suppress_benign_aot_warnings()
+    custom_dir = os.environ.get("CHALAMETPIR_COMPILE_CACHE_DIR")
+    if not custom_dir:
+        # the benignity argument below relies on the DEFAULT cache path
+        # embedding the machine fingerprint (artifacts from a different
+        # ISA are never even looked up). A user-supplied dir may be
+        # shared across heterogeneous hosts, where the loader's SIGILL
+        # warning can be the real thing — never filter it there.
+        _suppress_benign_aot_warnings()
     try:
         import jax
 
-        cache_dir = os.environ.get("CHALAMETPIR_COMPILE_CACHE_DIR") or os.path.join(
+        cache_dir = custom_dir or os.path.join(
             os.path.expanduser("~"),
             ".cache",
             "chalametpir_tpu",

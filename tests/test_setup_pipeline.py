@@ -75,11 +75,14 @@ def test_ctr_chunk_cols_even_division():
 
 
 def test_pipelined_setup_multichunk_buffer_reuse(rng, monkeypatch):
-    """Force a multi-chunk pipeline so the round-robin pack-buffer reuse
-    (native.engine.build_packed_planes out=) actually cycles: chunks 3+
-    rewrite a buffer a prior device_put read from. Must still match the
-    numpy oracle byte-for-byte — this is the guard against device_put
-    aliasing the reused host memory."""
+    """Force a multi-chunk pipeline so the chunked pack/upload/fold path
+    actually cycles. NOTE: on the CPU backend reuse_bufs is forced off
+    (device_put can zero-copy alias host buffers there), so this tier
+    exercises the multi-chunk pipeline with fresh buffers; the reuse
+    path itself — chunks 3+ rewriting a buffer a prior device_put read
+    from — only runs on accelerators and is guarded by the hardware-tier
+    sibling (test_tpu_compiled.test_pipelined_setup_multichunk_buffer_
+    reuse_compiled)."""
     from chalametpir_tpu.models import server as server_mod
 
     monkeypatch.setattr(server_mod, "_CTR_CHUNK_COLS", 512)
