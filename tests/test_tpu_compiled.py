@@ -107,33 +107,40 @@ def test_pipelined_setup_compiled_round_trip(rng):
         assert client.process_response(key, server.respond(q)) == db[key]
 
 
-def test_pipelined_setup_multichunk_buffer_reuse_compiled(rng, monkeypatch):
+def test_pipelined_setup_multichunk_buffer_reuse_compiled(rng):
     """Force a multi-chunk pipeline ON HARDWARE so the round-robin
     pack-buffer reuse (reuse_bufs — accelerator-only; the CPU backend
     device_put can zero-copy alias host buffers, so the CPU-tier sibling
     in test_setup_pipeline.py necessarily runs the fresh-buffer path)
     actually cycles: chunks 3+ rewrite a host buffer a prior device_put
     read from, guarded only by block_until_ready on the arrays produced
-    from it. Hint must stay byte-identical to the numpy oracle."""
+    from it. Hint must stay byte-identical to the numpy oracle.
+
+    Manual set/restore instead of the monkeypatch fixture: bench's
+    run_check_tpu drives these functions as fn(rng) outside pytest."""
     from chalametpir_tpu import Server
     from chalametpir_tpu.models import server as server_mod
     from chalametpir_tpu.utils import generate_random_kv_database
 
-    monkeypatch.setattr(server_mod, "_CTR_CHUNK_COLS", 512)
-    db = generate_random_kv_database(8192, rng=rng, value_byte_len=(1, 64))
-    seed = rng.bytes(32)
-    server_jax, hint_jax, fp_jax = Server.setup(
-        seed, db, arity=3, backend="jax", prg_mode="ctr",
-        rng=np.random.default_rng(11),
-    )
-    from chalametpir_tpu.core.filter import filter_geometry
+    saved = server_mod._CTR_CHUNK_COLS
+    server_mod._CTR_CHUNK_COLS = 512
+    try:
+        db = generate_random_kv_database(8192, rng=rng, value_byte_len=(1, 64))
+        seed = rng.bytes(32)
+        server_jax, hint_jax, fp_jax = Server.setup(
+            seed, db, arity=3, backend="jax", prg_mode="ctr",
+            rng=np.random.default_rng(11),
+        )
+        from chalametpir_tpu.core.filter import filter_geometry
 
-    _, _, num_fp = filter_geometry(3, len(db))
-    assert -(-num_fp // server_mod._ctr_chunk_cols(num_fp, 2048)) >= 3
-    server_np, hint_np, fp_np = Server.setup(
-        seed, db, arity=3, backend="numpy", prg_mode="ctr",
-        rng=np.random.default_rng(11),
-    )
+        _, _, num_fp = filter_geometry(3, len(db))
+        assert -(-num_fp // server_mod._ctr_chunk_cols(num_fp, 2048)) >= 3
+        server_np, hint_np, fp_np = Server.setup(
+            seed, db, arity=3, backend="numpy", prg_mode="ctr",
+            rng=np.random.default_rng(11),
+        )
+    finally:
+        server_mod._CTR_CHUNK_COLS = saved
     assert fp_jax == fp_np
     assert hint_jax == hint_np
     q = np.random.default_rng(3).integers(
