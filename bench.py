@@ -80,6 +80,10 @@ ARITY = int(os.environ.get("PIR_BENCH_ARITY", "3"))
 VALUE_LEN = int(os.environ.get("PIR_BENCH_VALUE_LEN", "1024"))
 BATCH = int(os.environ.get("PIR_BENCH_BATCH", "64"))
 BUDGET_S = float(os.environ.get("PIR_BENCH_BUDGET_S", "900"))
+# one invariant, one constant: total wall (stalls + credited work) stays
+# under this, enforced by BOTH the init-stall budget shrink and the
+# cold-compile credit clamp
+TOTAL_CAP_S = float(os.environ.get("PIR_BENCH_TOTAL_CAP_S", "2100"))
 RUN_MATRIX = os.environ.get("PIR_BENCH_MATRIX", "1") not in ("0", "")
 RUN_STREAM = os.environ.get("PIR_BENCH_STREAM", "1") not in ("0", "")
 RUN_CHECK_TPU = os.environ.get("PIR_BENCH_CHECK_TPU", "1") not in ("0", "")
@@ -1109,11 +1113,10 @@ def main() -> None:
         # after a huge stall shrink the budget to keep stall+work bounded
         # (~TOTAL_CAP wall) — the stage gates then trim the tail stages,
         # each leaving its projection record
-        cap = float(os.environ.get("PIR_BENCH_TOTAL_CAP_S", "2100"))
-        if stall + BUDGET_S > cap:
-            BUDGET_S = max(300.0, cap - stall)
+        if stall + BUDGET_S > TOTAL_CAP_S:
+            BUDGET_S = max(300.0, TOTAL_CAP_S - stall)
             log(f"stall-adjusted budget: {BUDGET_S:.0f}s "
-                f"(total cap {cap:.0f}s)")
+                f"(total cap {TOTAL_CAP_S:.0f}s)")
             res["budget_s"] = round(BUDGET_S, 1)
 
     def on_partial(idx):
@@ -1169,9 +1172,8 @@ def main() -> None:
         # shrunk the budget to keep stall+work under cap, and an unclamped
         # credit here would re-extend the wall ceiling past the harness
         # timeout the cap exists to stay under
-        cap = float(os.environ.get("PIR_BENCH_TOTAL_CAP_S", "2100"))
         elapsed = time.perf_counter() - PROC_START
-        headroom = max(0.0, cap - elapsed - max(0.0, left()))
+        headroom = max(0.0, TOTAL_CAP_S - elapsed - max(0.0, left()))
         credit = min(ext - 60, 700.0, headroom)
         res["headline_stall_s"] = round(ext, 1)
         log(f"headline setup stalled externally {ext:.0f}s (cold compile / "

@@ -109,9 +109,16 @@ def warmup_collectives(timeout_s: float = 240.0) -> None:
 
     if jax.process_count() == 1:
         return
-    from jax._src import distributed
+    try:
+        # private API (the coordination client has no public barrier);
+        # degrade to barrier-less warmup on a jax that moves it — the
+        # psum below still forms the communicator, just without the
+        # alignment guarantee
+        from jax._src import distributed
 
-    client = distributed.global_state.client
+        client = distributed.global_state.client
+    except (ImportError, AttributeError):  # pragma: no cover
+        client = None
     if client is not None:
         client.wait_at_barrier(
             "chalametpir_warmup_collectives", timeout_in_ms=int(timeout_s * 1e3)

@@ -68,6 +68,10 @@ def launch(args) -> int:
             "--process-id", str(pid),
             "--cpu-devices", str(args.cpu_devices),
             "--entries", str(args.entries),
+            # workers size their warmup barrier from --timeout; without
+            # forwarding it they'd fall back to the default and cap the
+            # very headroom a raised launcher deadline was meant to add
+            "--timeout", str(args.timeout),
         ]
         if args.tcp_queries:
             cmd += ["--tcp-queries", str(args.tcp_queries)]

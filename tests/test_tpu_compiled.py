@@ -132,9 +132,11 @@ def test_pipelined_setup_multichunk_buffer_reuse_compiled(rng):
             rng=np.random.default_rng(11),
         )
         from chalametpir_tpu.core.filter import filter_geometry
+        from chalametpir_tpu.ops import respond_pallas
 
         _, _, num_fp = filter_geometry(3, len(db))
-        assert -(-num_fp // server_mod._ctr_chunk_cols(num_fp, 2048)) >= 3
+        assert -(-num_fp // server_mod._ctr_chunk_cols(
+            num_fp, respond_pallas.DEFAULT_TILE_K)) >= 3
         server_np, hint_np, fp_np = Server.setup(
             seed, db, arity=3, backend="numpy", prg_mode="ctr",
             rng=np.random.default_rng(11),
