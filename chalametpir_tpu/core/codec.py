@@ -40,9 +40,11 @@ def encode_rows(
     n = len(values)
     hashed_keys = np.asarray(hashed_keys, np.uint8).reshape(n, HASHED_KEY_BYTE_LEN)
     out = np.empty((n, num_cols), dtype=np.uint32)
-    # bound the unpacked bit matrix to ~256 MB per chunk
+    # bound the chunk WORKING SET to ~256 MB: the unpacked uint8 bit
+    # matrix is stream_bytes*8 per row, and _encode_chunk's uint32 cast
+    # of it is another 4x on top — 5x total, not 1x
     stream_bytes = -(-num_cols * mat_elem_bit_len // 8)
-    chunk = max(1, (256 << 20) // max(1, stream_bytes * 8))
+    chunk = max(1, (256 << 20) // max(1, stream_bytes * 8 * 5))
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
         out[lo:hi] = _encode_chunk(

@@ -194,9 +194,14 @@ def from_kv_database_streaming(
     worker.start()
 
     def chunk_iter():
+        # acquire-ordered poll: the worker publishes each row with a
+        # release increment, so this load ordering (not a plain numpy
+        # read) is what guarantees the mat rows read after it are the
+        # written ones on weakly-ordered hosts
         for j in range(n_chunks):
-            while progress[j] < expected[j]:
-                if not worker.is_alive() and progress[j] < expected[j]:
+            while _native.progress_load_acquire(progress, j) < expected[j]:
+                if (not worker.is_alive()
+                        and _native.progress_load_acquire(progress, j) < expected[j]):
                     raise RuntimeError("streaming encode worker died")
                 time.sleep(0.002)
             yield j

@@ -85,13 +85,16 @@ class BinaryFuseFilter:
 
 
 def segment_length(arity: int, size: int) -> int:
-    """(reference: binary_fuse_filter.rs:519-529)"""
+    """(reference: binary_fuse_filter.rs:519-529; the reference casts the
+    float exponent with Rust `as u32`, which saturates negatives to 0 —
+    at arity 4, size 1 the exponent is -1, so clamp instead of crashing
+    on a negative shift)"""
     if size == 0:
         return 4
     if arity == 3:
-        return 1 << int(math.floor(math.log(size) / math.log(3.33) + 2.25))
+        return 1 << max(0, int(math.floor(math.log(size) / math.log(3.33) + 2.25)))
     if arity == 4:
-        return 1 << int(math.floor(math.log(size) / math.log(2.91) - 0.5))
+        return 1 << max(0, int(math.floor(math.log(size) / math.log(2.91) - 0.5)))
     return 65536
 
 
@@ -162,10 +165,14 @@ def construct_filter(
     for _ in range(max_attempt_count):
         seed = (rng.bytes(SEED_BYTE_LEN) if rng is not None else os.urandom(SEED_BYTE_LEN))
         hashes = hashing.mix256(hashed_keys, seed)
-        if np.unique(hashes).size != n:
+        # one sort per attempt: the argsort yields the segment-ordered
+        # placement, the adjacent-equal scan is the uniqueness check
+        # np.unique would have re-sorted for, and `order` is exactly the
+        # key-index map needed on success
+        order = np.argsort(hashes)
+        ordered = hashes[order]  # segment-ordered placement
+        if n > 1 and (ordered[1:] == ordered[:-1]).any():
             continue  # fused-hash collision: retry with a fresh seed
-
-        ordered = np.sort(hashes)  # segment-ordered placement
         if _native is not None:
             peel = _native.bff_peel(ordered, num_fp, arity, seg_len, seg_cnt_len)
         else:
@@ -195,8 +202,7 @@ def construct_filter(
             mat_elem_bit_len=mat_elem_bit_len,
         )
         # map each peeled hash back to the original key index
-        # (hashes[order] IS `ordered` — no need to re-gather it)
-        order = np.argsort(hashes)
+        # (hashes[order] IS `ordered`; `order` computed once above)
         pos_of_hash = np.searchsorted(ordered, reverse_order)
         key_index = order[pos_of_hash]
         return filt, reverse_order, reverse_h, key_index

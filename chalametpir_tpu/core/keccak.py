@@ -99,41 +99,36 @@ class TurboShake128:
 
     def __init__(self, nrounds: int = 12) -> None:
         self._state = np.zeros(25, dtype=np.uint64)
-        self._buf = bytearray()
-        self._absorbed = 0  # bytes of current partial block already XOR'd
+        self._buf = bytearray()  # partial block; whole blocks XOR at offset 0
         self._nrounds = nrounds
         self._finalized = False
         self._squeeze_block = b""
         self._squeeze_off = 0
 
-    def _xor_block(self, block: bytes, offset: int) -> None:
+    def _xor_block(self, block: bytes) -> None:
         arr = np.frombuffer(block, dtype=np.uint8)
-        sbytes = self._state.view(np.uint8)
-        sbytes[offset : offset + len(arr)] ^= arr
+        self._state.view(np.uint8)[: len(arr)] ^= arr
 
     def absorb(self, data: bytes) -> None:
         assert not self._finalized
         self._buf += data
         # absorb all complete rate blocks
-        while len(self._buf) - 0 >= RATE - self._absorbed:
-            take = RATE - self._absorbed
-            self._xor_block(bytes(self._buf[:take]), self._absorbed)
-            del self._buf[:take]
-            self._absorbed = 0
+        while len(self._buf) >= RATE:
+            self._xor_block(bytes(self._buf[:RATE]))
+            del self._buf[:RATE]
             self._state = keccak_p(self._state, self._nrounds)
 
     def finalize(self, domain_separator: int = DEFAULT_DOMAIN_SEPARATOR) -> None:
         assert not self._finalized
         # absorb the remaining partial block, then D, then pad10*1
         rem = bytes(self._buf)
-        self._xor_block(rem, self._absorbed)
-        pos = self._absorbed + len(rem)  # < RATE by the absorb loop invariant
+        self._xor_block(rem)
+        pos = len(rem)  # < RATE by the absorb loop invariant
         sbytes = self._state.view(np.uint8)
         sbytes[pos] ^= np.uint8(domain_separator)
         sbytes[RATE - 1] ^= np.uint8(0x80)
         self._state = keccak_p(self._state, self._nrounds)
         self._buf.clear()
-        self._absorbed = 0
         self._finalized = True
         self._squeeze_block = self._state.view(np.uint8)[:RATE].tobytes()
         self._squeeze_off = 0

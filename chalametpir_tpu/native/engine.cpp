@@ -907,4 +907,14 @@ void pir_free_populated(void* p, int64_t nbytes) {
   if (p != nullptr) munmap(p, static_cast<size_t>(nbytes));
 }
 
+// Acquire-ordered read of one streaming-encode progress slot: pairs with
+// the __ATOMIC_RELEASE increments in encode_assemble_rows16_ordered so
+// the consumer's subsequent reads of that chunk's rows are ordered after
+// the worker's row stores. A plain numpy load is enough on x86 (TSO)
+// but NOT on weakly-ordered hosts (aarch64), where the consumer could
+// see the count before the rows and pack a stale chunk.
+int64_t progress_load_acquire(const int64_t* progress, int64_t idx) {
+  return __atomic_load_n(&progress[idx], __ATOMIC_ACQUIRE);
+}
+
 }  // extern "C"

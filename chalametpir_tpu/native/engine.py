@@ -119,6 +119,8 @@ _lib.encode_assemble_rows16_ordered.argtypes = [
     ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int64,
     ctypes.c_int64, _i64p,
 ]
+_lib.progress_load_acquire.restype = ctypes.c_int64
+_lib.progress_load_acquire.argtypes = [_i64p, ctypes.c_int64]
 _lib.build_packed_planes16.argtypes = [
     _u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     _i8p, _u8p, ctypes.c_int32, ctypes.c_int32,
@@ -393,6 +395,13 @@ def encode_assemble_rows16_ordered(
         n, b, cols, arity, seg_len, seg_cnt_len, _ptr(mat, _u16p),
         num_fp, chunk_rows, n_chunks, _ptr(progress, _i64p),
     )
+
+
+def progress_load_acquire(progress: np.ndarray, idx: int) -> int:
+    """Acquire-ordered read of progress[idx] — pairs with the worker's
+    release increments so the chunk rows observed after this read are the
+    ones the worker wrote (a plain numpy load only suffices on TSO)."""
+    return _lib.progress_load_acquire(_ptr(progress, _i64p), idx)
 
 
 def chacha8_ternary(entropy32: bytes, n: int) -> np.ndarray:

@@ -28,6 +28,41 @@ def test_sizing_formulas():
     assert size_factor(4, 1 << 16) == pytest.approx(max(1.075, 0.77 + 0.305 * np.log(6e5) / np.log(1 << 16)))
 
 
+def test_segment_length_saturates_tiny_sizes():
+    """The reference casts the float exponent with Rust `as u32`, which
+    saturates negatives to 0 — at arity 4, size 1 the exponent is -1
+    (a negative shift crashed here before). Every size must yield a
+    positive power of two."""
+    for arity in (3, 4):
+        for size in (1, 2, 3, 4, 7):
+            sl = segment_length(arity, size)
+            assert sl >= 1 and (sl & (sl - 1)) == 0
+    assert segment_length(4, 1) == 1
+
+
+@pytest.mark.parametrize("arity", [3, 4])
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_tiny_db_round_trip(arity, n, rng):
+    """Single-digit DBs build and serve at both arities (arity 4, n=1
+    regression: segment_length must saturate, not crash)."""
+    from chalametpir_tpu import Client, Server
+    from chalametpir_tpu.errors import ArithmeticOverflowAddingQueryIndicator
+
+    db = {f"k{i}".encode(): f"value-{i}".encode() for i in range(n)}
+    seed = bytes(32)
+    server, hint, fp = Server.setup(
+        seed, db, arity=arity, backend="numpy", rng=np.random.default_rng(0)
+    )
+    client = Client.setup(seed, hint, fp, device=False)
+    while True:
+        try:
+            q = client.query(b"k0")
+            break
+        except ArithmeticOverflowAddingQueryIndicator:
+            continue
+    assert client.process_response(b"k0", server.respond(q)) == db[b"k0"]
+
+
 @pytest.mark.parametrize("arity", [3, 4])
 def test_construction_covers_all_keys(arity, rng):
     n = 1 << 11
