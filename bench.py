@@ -693,7 +693,7 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
     )
 
 
-def run_check_tpu() -> str:
+def run_check_tpu(budget_s: float | None = None) -> str:
     """Run the compiled-kernel tier (tests/test_tpu_compiled.py) in-process
     on the real backend and return a driver-visible verdict string.
 
@@ -702,7 +702,12 @@ def run_check_tpu() -> str:
     just held the device — the bench already owns it. The assertions are
     the same ones `make check-tpu` runs (exactness of the compiled Pallas
     kernels and round trips vs host oracles, the analogue of the reference
-    CI running its suite with --features gpu, test_ci.yml:36-48)."""
+    CI running its suite with --features gpu, test_ci.yml:36-48).
+
+    budget_s bounds the tier: the tests take ~10-30 s with the persistent
+    compile cache warm but can stall minutes against the remote compile
+    service cold — rather than gate the whole tier on the worst case, run
+    under a deadline and report how far it got."""
     import importlib.util
     import zlib
 
@@ -719,8 +724,12 @@ def run_check_tpu() -> str:
 
     enable_compile_cache()
     names = sorted(n for n in dir(mod) if n.startswith("test_"))
-    passed, failed = 0, []
+    passed, failed, unrun = 0, [], 0
+    t_tier = time.perf_counter()
     for name in names:
+        if budget_s is not None and time.perf_counter() - t_tier > budget_s:
+            unrun += 1
+            continue
         fn = getattr(mod, name)
         rng = np.random.default_rng([0xC41, zlib.crc32(name.encode())])
         t0 = time.perf_counter()
@@ -734,6 +743,8 @@ def run_check_tpu() -> str:
             log(f"check-tpu pass {name} ({time.perf_counter()-t0:.1f}s)")
     if failed:
         return f"FAIL {len(failed)}/{len(names)}: " + "; ".join(failed)[:160]
+    if unrun:
+        return f"pass {passed}/{len(names)} ({unrun} unrun: tier deadline)"
     return f"pass {passed}/{len(names)}"
 
 
@@ -1190,7 +1201,27 @@ def main() -> None:
     if RUN_MATRIX and LOG_N == 20:
         run_stage(20, 4, "ctr", need=100, batch=16)
 
-    # 3. the BASELINE config-5 regime on one chip (synthetic planes, cheap:
+    # 3. compiled-kernel tier on hardware, surfaced in the artifact. Runs
+    #    BEFORE the heavier optional stages because it is the cheapest
+    #    high-value record in the file (~10-30 s with the compile cache
+    #    warm) — in bad tunnel weather it must not lose its budget slot to
+    #    a 2-minute synthetic stage. The tier deadline bounds the cold-
+    #    compile worst case instead of a pessimistic gate.
+    if RUN_CHECK_TPU and LOG_N >= 20:
+        if left() > 60:
+            t0 = time.perf_counter()
+            try:
+                STATE["check_tpu"] = run_check_tpu(
+                    budget_s=max(60.0, left() - 30.0))
+            except Exception as e:
+                STATE["check_tpu"] = f"error: {e!r:.80}"
+            log(f"check_tpu: {STATE['check_tpu']} "
+                f"({time.perf_counter()-t0:.0f}s)")
+        else:
+            STATE["check_tpu"] = "skip (budget)"
+        emit_state()
+
+    # 4. the BASELINE config-5 regime on one chip (synthetic planes, cheap:
     #    no DB build, no upload); the plane is deleted device-side when the
     #    stage ends
     if LOG_N >= 20:
@@ -1209,20 +1240,6 @@ def main() -> None:
         import gc
 
         gc.collect()  # release the host-side refs too
-
-    # 4. compiled-kernel tier on hardware, surfaced in the artifact
-    if RUN_CHECK_TPU and LOG_N >= 20:
-        if left() > 150:
-            t0 = time.perf_counter()
-            try:
-                STATE["check_tpu"] = run_check_tpu()
-            except Exception as e:
-                STATE["check_tpu"] = f"error: {e!r:.80}"
-            log(f"check_tpu: {STATE['check_tpu']} "
-                f"({time.perf_counter()-t0:.0f}s)")
-        else:
-            STATE["check_tpu"] = "skip (budget)"
-        emit_state()
 
     # 5. online serving throughput through the real TCP surface (2^16 DB,
     #    ~45 s; the serve_qps field is a new r5 artifact demand, so it runs
