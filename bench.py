@@ -1174,6 +1174,23 @@ def main() -> None:
     # 1. headline (always)
     run_stage(LOG_N, ARITY, PRG_MODE)
 
+    # sustained-link correction: the 8 MB probe has measured up to 8-9x
+    # the rate the pipeline then sustains over GBs (2026-08-18 run:
+    # probe 0.031, in-pipeline 0.0038 GB/s — a burst allowance, not
+    # steady state). Every later upload-priced gate must use the
+    # sustained estimate or it starts stages that run far past their
+    # projection (a total-cap hazard). The headline row's own measured
+    # upload is the best estimator: same path, same weather, GB-scale.
+    row0 = STATE["fat_rows"][0] if STATE["fat_rows"] else {}
+    up_gb = row0.get("server_setup_upload_GB") or 0.0
+    up_s = row0.get("server_setup_upload_s") or 0.0
+    if up_gb > 0.2 and up_s > 1.0:
+        sustained = up_gb / up_s
+        if sustained < h2d:
+            log(f"sustained h2d {sustained:.4f} GB/s from headline upload "
+                f"(probe said {h2d:.4f}); using it for later gates")
+            h2d = sustained
+
     # cold-compile credit: on a machine whose persistent compile cache is
     # empty, the headline setup blocks for minutes in the remote compile
     # service (r5 rehearsal: 709 s, all in the measured cpu_s.external
@@ -1316,8 +1333,13 @@ def main() -> None:
             np.asarray(link(jax.device_put(probe), dwn))  # compile + warm
             t0 = time.perf_counter()
             np.asarray(link(jax.device_put(probe), dwn))
-            h2d = max(probe.nbytes / 1e9 / (time.perf_counter() - t0), 1e-4)
-            log(f"scaling gate: fresh h2d ~{h2d:.4f} GB/s")
+            fresh = max(probe.nbytes / 1e9 / (time.perf_counter() - t0), 1e-4)
+            # the burst probe over-reads throttled weather (see the
+            # sustained-link correction above); a gate pricing a multi-GB
+            # upload must stay pessimistic or the stage overruns the cap
+            h2d = min(fresh, h2d) if h2d else fresh
+            log(f"scaling gate: fresh h2d ~{fresh:.4f} GB/s, "
+                f"gating at {h2d:.4f}")
         except Exception:
             pass
         # constant covers DB-dict build + encode + client retrieval check;
