@@ -166,8 +166,11 @@ def _compact(rec: dict) -> dict:
     for full, key, nd in _SHORT:
         if rec.get(full) is not None:
             out[key] = round(rec[full], nd)
+    # cap free-text fields: multiple ~110-char skip projections in one
+    # bad-weather run would overflow MAX_LINE and force whole measured
+    # rows out of the compact line (the fat record keeps the full text)
     if "skipped" in rec:
-        out["skip"] = rec["skipped"]
+        out["skip"] = rec["skipped"][:60]
     if "error" in rec:
         out["err"] = rec["error"][:60]
     return out
@@ -746,7 +749,9 @@ def run_check_tpu(budget_s: float | None = None) -> str:
             passed += 1
             log(f"check-tpu pass {name} ({time.perf_counter()-t0:.1f}s)")
     if failed:
-        return f"FAIL {len(failed)}/{len(names)}: " + "; ".join(failed)[:160]
+        note = f" ({unrun} unrun: tier deadline)" if unrun else ""
+        return (f"FAIL {len(failed)}/{len(names)}{note}: "
+                + "; ".join(failed)[:160])
     if unrun:
         return f"pass {passed}/{len(names)} ({unrun} unrun: tier deadline)"
     return f"pass {passed}/{len(names)}"

@@ -174,10 +174,10 @@ def from_kv_database_streaming(
         # be measured, not modeled. The minor-fault delta separates
         # page-fault fill (first touch of `mat`, slow late in a
         # long-lived process) from assembly compute.
-        import resource
+        from ..utils.telemetry import thread_rusage
 
         t0 = time.thread_time()
-        ru0 = resource.getrusage(resource.RUSAGE_THREAD)
+        ru0 = thread_rusage()
         try:
             _native.encode_assemble_rows16_ordered(
                 digest_bytes, values, key_index, reverse_order, reverse_h,
@@ -186,7 +186,7 @@ def from_kv_database_streaming(
             )
         finally:
             if stats is not None:
-                ru1 = resource.getrusage(resource.RUSAGE_THREAD)
+                ru1 = thread_rusage()
                 stats["worker_cpu_s"] = time.thread_time() - t0
                 stats["worker_minflt"] = ru1.ru_minflt - ru0.ru_minflt
 

@@ -130,12 +130,13 @@ class Client:
         # of the host XOF expansion (the dominant stream-mode step),
         # cpu_s this thread's CPU over the whole setup — wall >> cpu means
         # the host was preempted (co-tenant / tunnel), not doing XOF work
-        import resource
         import time as _t
+
+        from ..utils.telemetry import thread_rusage
 
         stats: dict = {}
         wall0, cpu0 = _t.perf_counter(), _t.thread_time()
-        ru0 = resource.getrusage(resource.RUSAGE_THREAD)
+        ru0 = thread_rusage()
         filt = BinaryFuseFilter.from_bytes(filter_param_bytes)
         hint_mat_m = matrix_io.matrix_from_bytes(hint_bytes)
         if hint_mat_m.shape[0] != LWE_DIMENSION:
@@ -216,7 +217,7 @@ class Client:
         # user/sys + fault split decides WHERE a slow setup went: sys- or
         # fault-dominated means kernel memory management (page-fault fill /
         # THP compaction on a degraded heap), not XOF compute
-        ru1 = resource.getrusage(resource.RUSAGE_THREAD)
+        ru1 = thread_rusage()
         stats["sys_s"] = round(ru1.ru_stime - ru0.ru_stime, 2)
         stats["minflt"] = ru1.ru_minflt - ru0.ru_minflt
         client.setup_stats = stats

@@ -257,7 +257,6 @@ class Server:
         reuse_bufs = not interpret
         pack_bufs: list = [(None, None), (None, None)]
         in_flight: list = [(), ()]
-        pack_cpu0 = _time.thread_time()
         with telemetry.span(
             "server_setup.stream_pack_upload_fold", chunks=n_chunks, m=m, cols=cols
         ):

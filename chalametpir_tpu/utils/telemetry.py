@@ -26,6 +26,28 @@ def set_trace(enabled: bool) -> None:
     _ENABLED = enabled
 
 
+class _NullRusage:
+    """Zero-valued stand-in where per-thread rusage is unavailable
+    (RUSAGE_THREAD is Linux-only; the resource module is absent on
+    Windows). Attribution stats are advisory — they must never take
+    down the API that is being measured."""
+
+    ru_stime = 0.0
+    ru_utime = 0.0
+    ru_minflt = 0
+    ru_majflt = 0
+
+
+def thread_rusage():
+    """Per-thread getrusage snapshot, or a zeroed stand-in off-Linux."""
+    try:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_THREAD)
+    except (ImportError, AttributeError, OSError):
+        return _NullRusage()
+
+
 def trace_enabled() -> bool:
     return _ENABLED
 
