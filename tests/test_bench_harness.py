@@ -124,3 +124,35 @@ def test_bench_compact_line_trimming(capsys, monkeypatch):
     assert rec["check_tpu"] == "pass 8/8"
     # STATE's own rows were not mutated by the trimming
     assert "el" in bench.STATE["rows"][5]
+
+
+def test_bench_compact_caps_free_text():
+    """Skip-projection and error text are capped at 60 chars in the
+    compact row: multiple ~110-char projections in one bad-weather run
+    must not overflow the driver line and force measured rows out."""
+    import bench
+
+    rec = bench._compact(
+        {"config": "2^20x1024B arity3 stream",
+         "skipped": "projected ~1234s (~14.9 GB A+DB ship at measured "
+                     "h2d 0.0035 GB/s, sustained-rate gated)" * 2,
+         "error": "x" * 200}
+    )
+    assert rec["c"] == "20a3s"
+    assert len(rec["skip"]) <= 60
+    assert len(rec["err"]) <= 60
+
+
+def test_thread_rusage_degrades_off_linux(monkeypatch):
+    """Attribution stats are advisory: where RUSAGE_THREAD is missing
+    (macOS/Windows) the helper returns a zeroed stand-in instead of
+    crashing the API being measured."""
+    import resource
+
+    from chalametpir_tpu.utils import telemetry
+
+    monkeypatch.delattr(resource, "RUSAGE_THREAD")
+    ru = telemetry.thread_rusage()
+    assert ru.ru_stime == 0.0 and ru.ru_minflt == 0
+    monkeypatch.undo()
+    assert telemetry.thread_rusage().ru_stime >= 0.0
