@@ -74,6 +74,26 @@ class BinaryFuseFilter:
         if len(data) != _PARAM_STRUCT.size:
             raise FailedToDeserializeFilterFromBytes()
         seed, arity, seg_len, seg_cnt_len, num_fp, filt_size, bit_len = _PARAM_STRUCT.unpack(data)
+        # semantic validation: these params come off the wire from the
+        # server, and every later consumer (hash_batch's segment masks,
+        # the query indicator add, the row codec) indexes with them
+        # unchecked — a hostile or corrupt 68-byte blob must fail HERE
+        # with the typed error, not as a raw IndexError deep in query()
+        from ..params import MAX_CIPHER_TEXT_BIT_LEN, MIN_CIPHER_TEXT_BIT_LEN
+
+        ok = (
+            arity in (3, 4)
+            and seg_len > 0
+            and seg_cnt_len > 0
+            and filt_size > 0
+            and MIN_CIPHER_TEXT_BIT_LEN <= bit_len <= MAX_CIPHER_TEXT_BIT_LEN
+            # geometry identity (binary_fuse_filter.rs:52-67): the row
+            # space hash_batch targets is exactly seg_cnt_len plus the
+            # arity-1 trailing segments
+            and num_fp == seg_cnt_len + (arity - 1) * seg_len
+        )
+        if not ok:
+            raise FailedToDeserializeFilterFromBytes()
         return cls(seed, arity, seg_len, seg_cnt_len, int(num_fp), int(filt_size), int(bit_len))
 
     def hash_rows_of_key(self, key: bytes) -> tuple[int, np.ndarray]:

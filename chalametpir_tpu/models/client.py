@@ -93,8 +93,11 @@ class Client:
         self._prepared_lock = threading.Lock()
         self._refill_target = 0
         self._refill_thread: threading.Thread | None = None
-        self._resp_out: np.ndarray | None = None  # reused decode buffer
-        self._resp_out_ptr = 0
+        # reused decode buffer, one per thread: process_response is
+        # documented concurrency-safe across distinct keys, and a shared
+        # buffer would let thread B's C call overwrite thread A's value
+        # between the native return and the .tobytes() copy
+        self._resp_out = threading.local()
         # filled by setup(); wall/cpu attribution for bench (empty when the
         # client was constructed directly or via load())
         self.setup_stats: dict = {}
@@ -393,7 +396,13 @@ class Client:
         if fresh_keys:
             codes = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in fresh_keys])
             if self._engine is not None:
-                b_batch = self._engine.matvec_batch(codes)
+                # dispatch without waiting and hand each key its (1, m_pad)
+                # device row: _finalize_query runs the host-side work
+                # (error sampling, the s . M matvec) BEFORE materialising
+                # it, overlapping the device dot + readback like the
+                # inline and prepare paths do
+                b_dev = self._engine.matvec_batch_async(codes)
+                b_batch = [b_dev[j : j + 1] for j in range(len(fresh_keys))]
             else:
                 b_batch = np.stack(
                     [self._ternary_matvec(c, self._pub_mat_a) for c in codes]
@@ -458,13 +467,12 @@ class Client:
             # multi-call path costs ~5x in dispatch alone)
             cols = pending.vec_c.shape[0]
             out_len = (cols * b) // 8 + 1
-            out = self._resp_out
+            out = getattr(self._resp_out, "buf", None)
             if out is None or out.shape[0] < out_len:
-                out = self._resp_out = np.empty(out_len, np.uint8)
-                self._resp_out_ptr = out.ctypes.data
+                out = self._resp_out.buf = np.empty(out_len, np.uint8)
             result = _native.client_process_response_wire(
                 key, self._filter.seed, response_bytes,
-                pending.c_ptr, cols, b, self._resp_out_ptr,
+                pending.c_ptr, cols, b, out.ctypes.data,
             )
             if result == -3:
                 # malformed response: the pending query survives, exactly
@@ -582,11 +590,16 @@ class Client:
                 seed, hint_bytes, fparams, prg_mode=prg_mode, device=device
             )
             blob = archive["key_blob"].tobytes()
+            # one archive read: NpzFile re-decompresses the whole stack on
+            # every __getitem__, which would make restore O(P^2) in
+            # pending-query count
+            key_lens = archive["key_lens"]
+            pending_c = archive["pending_c"] if len(key_lens) else ()
             off = 0
-            for i, ln in enumerate(archive["key_lens"]):
+            for i, ln in enumerate(key_lens):
                 key = blob[off : off + int(ln)]
                 off += int(ln)
-                client._pending[key] = Query(vec_c=archive["pending_c"][i].copy())
+                client._pending[key] = Query(vec_c=pending_c[i].copy())
         return client
 
     # -- benchmarking hooks (reference: client.rs:60-71) -----------------------
@@ -637,6 +650,14 @@ class Client:
         multiplies."""
         if _native is not None:
             return _native.ternary_matvec(t_codes, mat)
-        pos = mat[t_codes == 1].sum(axis=0, dtype=np.uint64)
-        neg = mat[t_codes == 2].sum(axis=0, dtype=np.uint64)
-        return (pos - neg).astype(np.uint32)  # uint64 wrap == mod 2^32
+        # accumulate selected rows in bounded slabs: a full fancy-index
+        # copy (mat[t_codes == 1]) would materialize ~2/3 of the matrix —
+        # at the 2^20 headline geometry that is multi-GB of temporaries
+        # for one matvec on the no-native fallback path
+        acc = np.zeros(mat.shape[1], np.uint64)
+        for code, sign in ((1, 1), (2, -1)):
+            idx = np.nonzero(t_codes == code)[0]
+            for j in range(0, idx.size, 32):
+                part = mat[idx[j : j + 32]].sum(axis=0, dtype=np.uint64)
+                acc += part if sign == 1 else (-part)
+        return acc.astype(np.uint32)  # uint64 wrap == mod 2^32

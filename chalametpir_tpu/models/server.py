@@ -491,7 +491,9 @@ class Server:
                     hint = np.asarray(hint_buf)[:LWE_DIMENSION].astype(np.uint32)
                 server = cls("jax", db, m, cols, bit_len, "packed")
                 server.setup_stats = {
-                    "upload_bytes": db.hbm_bytes,
+                    # bytes the link actually carried (the tight pack path
+                    # ships unpadded chunks, smaller than the HBM planes)
+                    "upload_bytes": db.shipped_bytes or db.hbm_bytes,
                     "upload_s": round(pack_upload_s, 3),
                     "cpu_s": _cpu_attrib(),
                 }
@@ -543,7 +545,7 @@ class Server:
             # stream mode ships the XOF-expanded A blocks AND the packed DB
             # planes over the host link — both measured, both attributed
             server.setup_stats = {
-                "upload_bytes": up_bytes + db.hbm_bytes,
+                "upload_bytes": up_bytes + (db.shipped_bytes or db.hbm_bytes),
                 # A-block put dispatches + final drain + the DB pack/upload
                 # pass (host pack CPU time included: it time-shares the
                 # core with the transfer, so the sum is what the link path

@@ -62,6 +62,10 @@ class PallasDB:
     num_rows: int  # logical m
     num_cols: int  # logical c
     tile_k: int
+    # bytes actually sent over the host link to build the planes (the
+    # tight pack path ships unpadded chunks, so this is smaller than the
+    # HBM footprint); 0 = built without a host upload (device-generated)
+    shipped_bytes: int = 0
 
     @property
     def hbm_bytes(self) -> int:
@@ -120,18 +124,23 @@ def build_pallas_db(
         # silently corrupt the hint)
         lo_dev = jnp.full((m_pad, c_pad), -128, jnp.int8)
         hi_dev = jnp.zeros((m_pad, pc), jnp.uint8) if hb > 0 else None
+        shipped = 0
         for r0 in range(0, m, chunk_rows):
             rows_pad = min(chunk_rows, m_pad - r0)
             rows = min(rows_pad, m - r0)
             lo_host, hi_host = _native.build_packed_planes(
                 mat[r0 : r0 + rows], rows_pad, c_pad, pack, bits, tight_lo=True
             )
+            shipped += lo_host.nbytes
             lo_dev = _write_rows(lo_dev, jax.device_put(lo_host), r0)
             if hb > 0:
+                shipped += hi_host.nbytes
                 hi_dev = _write_rows(hi_dev, jax.device_put(hi_host), r0)
-        return PallasDB(lo_dev, hi_dev, mat_elem_bit_len, m, c, tile_k)
+        return PallasDB(lo_dev, hi_dev, mat_elem_bit_len, m, c, tile_k,
+                        shipped_bytes=shipped)
 
     lo_chunks, hi_chunks = [], []
+    shipped = 0
     for r0 in range(0, m_pad, chunk_rows):
         rows_pad = min(chunk_rows, m_pad - r0)
         rows = max(0, min(rows_pad, m - r0))
@@ -156,17 +165,20 @@ def build_pallas_db(
                     for j in range(pack):
                         hi_host |= hi_full[:, j * pc : (j + 1) * pc] << np.uint8(bits * j)
         lo_chunks.append(jax.device_put(lo_host, sharding))
+        shipped += lo_host.nbytes
         if hb > 0:
             if hi_host is None:  # native pack==0 path never lands here
                 pc = c_pad // pack if pack > 1 else c_pad
                 hi_host = np.zeros((rows_pad, pc), np.uint8)
             hi_chunks.append(jax.device_put(hi_host, sharding))
+            shipped += hi_host.nbytes
 
     lo_dev = lo_chunks[0] if len(lo_chunks) == 1 else jnp.concatenate(lo_chunks, axis=0)
     hi_dev = None
     if hi_chunks:
         hi_dev = hi_chunks[0] if len(hi_chunks) == 1 else jnp.concatenate(hi_chunks, axis=0)
-    return PallasDB(lo_dev, hi_dev, mat_elem_bit_len, m, c, tile_k)
+    return PallasDB(lo_dev, hi_dev, mat_elem_bit_len, m, c, tile_k,
+                    shipped_bytes=shipped)
 
 
 def _kernel_with_hi(pack: int, bits: int, qd_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):

@@ -108,7 +108,7 @@ def test_param_serde_roundtrip(rng):
         arity=4,
         segment_length=1 << 10,
         segment_count_length=7 << 10,
-        num_fingerprints=123456,
+        num_fingerprints=(7 << 10) + 3 * (1 << 10),  # geometry identity
         filter_size=100000,
         mat_elem_bit_len=9,
     )
@@ -120,3 +120,31 @@ def test_param_serde_roundtrip(rng):
 def test_param_serde_rejects_bad_length():
     with pytest.raises(FailedToDeserializeFilterFromBytes):
         BinaryFuseFilter.from_bytes(b"\0" * 67)
+
+
+def test_param_serde_rejects_hostile_values(rng):
+    """The 68-byte params come off the wire from the server; every later
+    consumer indexes with them unchecked, so corruption must surface as
+    the typed error at parse time, not an IndexError inside query()."""
+    good = BinaryFuseFilter(
+        seed=rng.bytes(32),
+        arity=3,
+        segment_length=1 << 10,
+        segment_count_length=6 << 10,
+        num_fingerprints=(6 << 10) + 2 * (1 << 10),
+        filter_size=5000,
+        mat_elem_bit_len=10,
+    )
+    assert BinaryFuseFilter.from_bytes(good.to_bytes()) == good
+    for mutate in (
+        dict(arity=5),
+        dict(segment_length=0),
+        dict(segment_count_length=0),
+        dict(filter_size=0),
+        dict(mat_elem_bit_len=3),
+        dict(mat_elem_bit_len=15),
+        dict(num_fingerprints=good.num_fingerprints + 1),
+    ):
+        bad = BinaryFuseFilter(**{**good.__dict__, **mutate})
+        with pytest.raises(FailedToDeserializeFilterFromBytes):
+            BinaryFuseFilter.from_bytes(bad.to_bytes())

@@ -64,12 +64,17 @@ def test_matrix_serde_roundtrip_random(rng):
 
 def test_filter_param_serde_roundtrip_random(rng):
     for _ in range(ITERS * 4):
+        arity = int(rng.integers(3, 5))
+        seg_len = int(rng.integers(1, 1 << 18))
+        seg_cnt_len = int(rng.integers(1, 1 << 10)) * seg_len
         filt = BinaryFuseFilter(
             seed=rng.bytes(32),
-            arity=int(rng.integers(3, 5)),
-            segment_length=int(rng.integers(1, 1 << 18)),
-            segment_count_length=int(rng.integers(1, 1 << 20)),
-            num_fingerprints=int(rng.integers(1, 1 << 40)),
+            arity=arity,
+            segment_length=seg_len,
+            segment_count_length=seg_cnt_len,
+            # from_bytes enforces the construction-time geometry identity
+            # (hash_batch's row space), so the fuzz stays inside it
+            num_fingerprints=seg_cnt_len + (arity - 1) * seg_len,
             filter_size=int(rng.integers(1, 1 << 40)),
             mat_elem_bit_len=int(rng.integers(4, 15)),
         )
