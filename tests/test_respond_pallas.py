@@ -29,6 +29,28 @@ def test_respond_packed_exact(b, q, rng):
     assert np.array_equal(got, respond_batch_np(queries, mat))
 
 
+def test_shipped_bytes_accounting(rng):
+    """setup_stats prices upload GB/s off shipped_bytes — pin that the
+    builder records what the link actually carried: positive, never more
+    than the padded HBM planes, and strictly less on the tight native
+    path (m=700/c=150 force both row and column padding)."""
+    m, c, b = 700, 150, 9
+    mat = rng.integers(0, 1 << b, size=(m, c), dtype=np.uint16)
+    db = build_pallas_db(mat, b, tile_k=256)
+    assert 0 < db.shipped_bytes <= db.hbm_bytes
+    try:
+        from chalametpir_tpu.native import engine as _native  # noqa: F401
+        tight = True
+    except Exception:
+        tight = False
+    if tight:
+        assert db.shipped_bytes < db.hbm_bytes
+    # accounting must not perturb the kernel's answer
+    queries = rng.integers(0, 1 << 32, size=(2, m), dtype=np.uint32)
+    got = np.asarray(respond_batch_packed(queries, db, interpret=True))
+    assert np.array_equal(got, respond_batch_np(queries, mat.astype(np.uint32)))
+
+
 def test_respond_packed_exact_large_batch(rng):
     m, c, b = 512, 128, 9
     queries = rng.integers(0, 1 << 32, size=(16, m), dtype=np.uint32)
