@@ -911,6 +911,26 @@ def _run_scaling_synthetic(log_n=23, value_len=1024):
     return rec
 
 
+def _link_ceiling_fields(qps: float, m: int, h2d_rate: float | None) -> dict:
+    """Artifact fields for the per-query link ceiling (a query must cross
+    the tunnel once, 4*m bytes).
+
+    The 8 MB probe can catch burst-throttled weather (~0.0005 GB/s) while
+    the serve loop itself sustains far more; a ceiling below the measured
+    qps is self-contradictory. Every served query provably crossed the
+    link, so the measured qps is itself a lower bound on the ceiling —
+    report that and flag the stale probe instead."""
+    if not h2d_rate:
+        return {}
+    ceiling = h2d_rate * 1e9 / (4 * m)
+    if ceiling < qps:
+        return {
+            "serve_qps_link_ceiling": round(qps, 1),
+            "serve_qps_link_ceiling_src": "in-run lower bound (probe stale)",
+        }
+    return {"serve_qps_link_ceiling": round(ceiling, 1)}
+
+
 def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
     """Online serving throughput through the REAL TCP surface (net/):
     n_conns concurrent framed connections into the micro-batching
@@ -992,9 +1012,7 @@ def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
     rec["serve_qps"] = round(qps, 1)
     rec["serve_batches"] = batches
     rec["serve_queries"] = total_served
-    if H2D_RATE:
-        # measured link ceiling: a query must cross the tunnel once
-        rec["serve_qps_link_ceiling"] = round(H2D_RATE * 1e9 / (4 * m), 1)
+    rec.update(_link_ceiling_fields(qps, m, H2D_RATE))
     log(f"serve_qps 2^{log_n}: {rec['serve_qps']} q/s over {n_conns} conns "
         f"({batches} device batches; link ceiling "
         f"{rec.get('serve_qps_link_ceiling')})")

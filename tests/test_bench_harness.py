@@ -156,3 +156,22 @@ def test_thread_rusage_degrades_off_linux(monkeypatch):
     assert ru.ru_stime == 0.0 and ru.ru_minflt == 0
     monkeypatch.undo()
     assert telemetry.thread_rusage().ru_stime >= 0.0
+
+
+def test_link_ceiling_never_contradicts_measurement():
+    """A stale burst-throttled probe (h2d ~0.0005 GB/s) must not emit a
+    link ceiling below the measured qps — every served query crossed the
+    link, so the measurement is itself a lower bound on the ceiling."""
+    import bench
+
+    m = 1_182_720  # 2^20 arity-3 fingerprint count scale
+    # healthy probe: ceiling from the probe, no src flag
+    rec = bench._link_ceiling_fields(78.5, m, 0.5)
+    assert rec["serve_qps_link_ceiling"] > 78.5
+    assert "serve_qps_link_ceiling_src" not in rec
+    # stale probe: measured qps wins, provenance flagged
+    rec = bench._link_ceiling_fields(78.5, m, 0.0005)
+    assert rec["serve_qps_link_ceiling"] == 78.5
+    assert rec["serve_qps_link_ceiling_src"] == "in-run lower bound (probe stale)"
+    # no probe at all: no fields
+    assert bench._link_ceiling_fields(78.5, m, None) == {}
