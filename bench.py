@@ -1081,11 +1081,19 @@ def _probe_link():
         float(jnp.max(d.astype(jnp.int32)))  # force the transfer to drain
         h2d_s = time.perf_counter() - t0
         H2D_RATE = round(probe.nbytes / 1e9 / h2d_s, 4)
+        # d2h on a BOUNDED 4 MB slice: the tunnel's d2h throttle is
+        # non-linear (observed 2026-08-18: 2 MB in 0.5 s, 8 MB in ~3.5
+        # min), so fetching the full 32 MB back can eat many minutes of
+        # budget in bad weather. Responses in this protocol are ~cols*4
+        # bytes (sub-MB), so the small-payload rate is also the more
+        # representative one.
+        sl = d[: 4 << 20]
+        sl.block_until_ready()  # device-side slice off the clock
         t0 = time.perf_counter()
-        back = np.asarray(d)
+        back = np.asarray(sl)
         d2h_s = max(time.perf_counter() - t0 - (RTT_MS or 0) / 1e3, 1e-6)
         D2H_RATE = round(back.nbytes / 1e9 / d2h_s, 4)
-        del d, back
+        del d, sl, back
     except Exception as e:
         log(f"link probe failed: {e!r}")
     log(f"tunnel h2d ~{H2D_RATE} GB/s, d2h ~{D2H_RATE} GB/s, rtt ~{RTT_MS} ms")
