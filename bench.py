@@ -63,7 +63,10 @@ tunnel created); scaling rows at >=2^22 run a real retrieved-value
 assert through the streaming client engine (retrieval_ok); skipped
 stages record their measured-rate projection instead of "budget"; the
 top-level serve_qps is queries/s through the real net/ TCP surface with
-its measured link ceiling alongside in the fat record.
+its measured link ceiling alongside in the fat record (when the 8 MB
+probe caught burst-throttled weather and reads below the measured qps,
+the ceiling reports the in-run lower bound and
+serve_qps_link_ceiling_src flags the stale probe).
 """
 
 from __future__ import annotations
