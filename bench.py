@@ -615,7 +615,15 @@ def _client_phases(rec, log_n, arity, db, server, seed, hint_bytes,
     prep_s = time.perf_counter() - t0
     rec["client_prepare_per_query_ms"] = round(prep_s / pool * 1e3, 2)
     rec["client_pool"] = pool
-    log(f"2^{log_n} a{arity}: prepare_queries({pool}) {prep_s:.2f}s")
+    pstats = dict(getattr(client, "prepare_stats", {}) or {})
+    if pstats:
+        # attribution: through this tunnel the dominant term is the
+        # b-vector readback (count x 4*k_pad bytes of d2h), NOT the MXU
+        # matvec (~3 ms/q device-side) — the phase split proves which
+        rec["client_prepare_phases_s"] = pstats
+    log(f"2^{log_n} a{arity}: prepare_queries({pool}) {prep_s:.2f}s"
+        + (f" (readback {pstats.get('readback_s')}s of it)"
+           if "readback_s" in pstats else ""))
 
     def _query_retry(fn, key):
         while True:

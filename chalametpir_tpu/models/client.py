@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -101,6 +102,9 @@ class Client:
         # filled by setup(); wall/cpu attribution for bench (empty when the
         # client was constructed directly or via load())
         self.setup_stats: dict = {}
+        # filled by prepare_queries(); phase split of the last batch
+        # (host sampling/unblinding vs residual device wait vs b readback)
+        self.prepare_stats: dict = {}
 
     @classmethod
     def setup(
@@ -239,19 +243,36 @@ class Client:
         if count <= 0:
             return
         m = self._filter.num_fingerprints
+        t0 = time.perf_counter()
         secrets = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in range(count)])
         b_dev = None
         if self._engine is not None:
             b_dev = self._engine.matvec_batch_async(secrets)
         errors = [self._sample_ternary_u32(m) for _ in range(count)]
         vec_cs = [self._ternary_matvec(secrets[i], self._hint_mat_m) for i in range(count)]
+        t_host = time.perf_counter()
+        stats: dict = {"host_s": round(t_host - t0, 3)}
         if b_dev is not None:
-            b_batch = np.asarray(b_dev)[:, :m].astype(np.uint32)
+            # split the blocking fetch: residual device compute not hidden
+            # behind the host sampling vs the b-vector d2h readback (the
+            # dominant cost through a slow link: count x 4*k_pad bytes)
+            b_dev.block_until_ready()
+            t_done = time.perf_counter()
+            b_host = np.asarray(b_dev)
+            t_read = time.perf_counter()
+            stats["device_wait_s"] = round(t_done - t_host, 3)
+            stats["readback_s"] = round(t_read - t_done, 3)
+            stats["readback_bytes"] = int(b_host.nbytes)
+            b_batch = b_host[:, :m].astype(np.uint32)
         else:
             b_batch = np.stack(
                 [self._ternary_matvec(secrets[i], self._pub_mat_a) for i in range(count)]
             )
+            stats["host_matvec_s"] = round(time.perf_counter() - t_host, 3)
         entries = [(b_batch[i] + errors[i], vec_cs[i]) for i in range(count)]
+        stats["count"] = count
+        stats["wall_s"] = round(time.perf_counter() - t0, 3)
+        self.prepare_stats = stats
         with self._prepared_lock:
             self._prepared.extend(entries)
 

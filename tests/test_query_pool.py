@@ -184,3 +184,24 @@ def test_prepared_query_wire_format_matches_inline(pir_pair):
     assert len(q_pool) == len(q_inline)
     assert client.process_response(keys[0], server.respond(q_pool)) == db[keys[0]]
     assert client.process_response(keys[1], server.respond(q_inline)) == db[keys[1]]
+
+
+def test_prepare_stats_attributes_the_batch(pir_pair):
+    """prepare_queries must leave a phase split behind (prepare_stats):
+    the bench fat record uses it to attribute pool-fill cost to host
+    sampling vs the device b readback, so the contract is pinned here
+    for the host path (device-path fields are covered by the hardware
+    tier)."""
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=0)
+    assert client.prepare_stats == {}
+    client.prepare_queries(3)
+    stats = client.prepare_stats
+    assert stats["count"] == 3
+    assert stats["wall_s"] >= stats["host_s"] >= 0.0
+    # host (no-engine) path computes b = s.A on the host and says so
+    assert "host_matvec_s" in stats
+    assert "readback_s" not in stats
+    # a no-op call must not clobber the last real split
+    client.prepare_queries(0)
+    assert client.prepare_stats is stats
