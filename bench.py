@@ -332,7 +332,7 @@ def make_respond_chain(server):
 
         def prepare(queries, nq):
             q_host = np.resize(queries, (nq, queries.shape[1]))
-            qd, _ = _prepare_query_digits(jax.device_put(q_host), nq, m_pad)
+            qd, _ = _prepare_query_digits(jax.device_put(q_host), m_pad)
             return qd
     else:
         from chalametpir_tpu.ops import respond as respond_ops

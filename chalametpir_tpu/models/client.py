@@ -429,22 +429,32 @@ class Client:
                     [self._ternary_matvec(c, self._pub_mat_a) for c in codes]
                 )
         out = []
-        for i, key in enumerate(keys):
-            try:
-                if i < len(pool_entries):
-                    out.append(self._finalize_prepared(key, pool_entries[i]))
-                else:
-                    j = i - len(pool_entries)
-                    out.append(self._finalize_query(key, codes[j], b_batch[j]))
-            except ArithmeticOverflowAddingQueryIndicator:
-                for attempt in range(SERVER_SETUP_MAX_ATTEMPT_COUNT):
-                    try:
-                        out.append(self.query_inline(key))
-                        break
-                    except ArithmeticOverflowAddingQueryIndicator:
-                        continue
-                else:
-                    raise
+        try:
+            for i, key in enumerate(keys):
+                try:
+                    if i < len(pool_entries):
+                        out.append(self._finalize_prepared(key, pool_entries[i]))
+                    else:
+                        j = i - len(pool_entries)
+                        out.append(self._finalize_query(key, codes[j], b_batch[j]))
+                except ArithmeticOverflowAddingQueryIndicator:
+                    for attempt in range(SERVER_SETUP_MAX_ATTEMPT_COUNT):
+                        try:
+                            out.append(self.query_inline(key))
+                            break
+                        except ArithmeticOverflowAddingQueryIndicator:
+                            continue
+                    else:
+                        raise
+        except ArithmeticOverflowAddingQueryIndicator:
+            # a key exhausted the retry cap: the caller never receives
+            # `out`, so keys finalized earlier in this batch would be
+            # stuck pending with their query bytes lost. Unwind them so
+            # the whole batch can simply be retried. (Consumed pool
+            # entries stay consumed — that is the documented contract.)
+            for k in keys[: len(out)]:
+                self._pending.pop(k, None)
+            raise
         return out
 
     def _finalize_query(self, key: bytes, secret_s: np.ndarray, b_base) -> bytes:
@@ -549,7 +559,9 @@ class Client:
     # Counterpart of Server.save/load (the reference has no client
     # persistence; its wire formats are the only state transfer,
     # SURVEY.md section 5). A restarted client process resumes with its
-    # pending queries and preprocessed pool intact.
+    # pending queries intact; the preprocessed pool is deliberately NOT
+    # persisted (see save() for the query-privacy argument) and refills
+    # fresh after load.
 
     def save(self, path: str) -> None:
         """Persist the client state: setup material + pending queries.

@@ -520,7 +520,12 @@ class Server:
             with telemetry.span("server_setup.hint_stream", blocks=n_blocks):
                 hint_buf = jnp.zeros((pad_rows, cols), jnp.uint32)
                 blocks = prg.prefetch_iter(
-                    prg.iter_row_blocks(LWE_DIMENSION, m, seed, hint_block_rows),
+                    # mode is always "stream" on this branch (the ctr branch
+                    # returned above) — forwarded so an unknown mode raises
+                    # here like every other backend/layout path
+                    prg.iter_row_blocks(
+                        LWE_DIMENSION, m, seed, hint_block_rows, mode=prg_mode
+                    ),
                     stats=prefetch_stats,
                 )
                 for r0, block in blocks:

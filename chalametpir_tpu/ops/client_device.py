@@ -225,9 +225,7 @@ class StreamingQueryEngine:
 
             raise InvalidDimensionForVector()
         q = codes.shape[0]
-        signs = np.zeros((q, self.k), np.int8)
-        signs[:] = np.where(codes == 2, -1, codes).astype(np.int8)
-        signs_dev = jax.device_put(signs)
+        signs_dev = jax.device_put(np.where(codes == 2, -1, codes).astype(np.int8))
         n_steps = -(-self.m // self._step)
         out = jnp.zeros((q, n_steps * self._step), jnp.uint32)
         for c0 in range(0, self.m, self._step):

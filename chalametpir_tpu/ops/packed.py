@@ -28,6 +28,16 @@ The Pallas respond kernel (ops/respond_pallas.py) streams lo_biased and
 packed-hi tiles from HBM, unpacks hi in VMEM with a couple of VPU ops,
 and keeps both dots on the MXU.
 
+Hi-plane packing is **column-block interleaved** — field j of packed
+word t holds logical column j*pc + t (pc = packed words per row) — so
+the kernel's unpack (shift+mask each field, then concatenate the field
+blocks along columns) restores natural column order with no gather.
+This is the ONE packed layout in the framework: pack_db here, the numpy
+fallback and the native build_packed_planes in
+ops/respond_pallas.build_pallas_db all emit it (build_pallas_db
+additionally pads columns to the 128-lane boundary before packing, so
+its pc is computed from the padded width).
+
 Note the bias trick uses `el & 255`, not a balanced digit, so `hi` here
 is the plain high byte — different from digits.db_digit_planes_np.
 """
@@ -90,10 +100,10 @@ def pack_db(mat: np.ndarray, mat_elem_bit_len: int) -> PackedDB:
     pc = -(-c // pack)
     padded = np.zeros((m, pc * pack), np.uint8)
     padded[:, :c] = hi
-    lanes = padded.reshape(m, pc, pack)
-    packed = lanes[:, :, 0].copy()
-    for i in range(1, pack):
-        packed |= lanes[:, :, i] << np.uint8(bits * i)
+    # block interleave: field j of word t <- logical column j*pc + t
+    packed = padded[:, :pc].copy()
+    for j in range(1, pack):
+        packed |= padded[:, j * pc : (j + 1) * pc] << np.uint8(bits * j)
     return PackedDB(lo, packed, mat_elem_bit_len, m, c)
 
 
@@ -108,8 +118,8 @@ def unpack_hi(packed: np.ndarray, mat_elem_bit_len: int, num_cols: int) -> np.nd
     mask = np.uint8((1 << bits) - 1)
     m, pc = packed.shape
     out = np.empty((m, pc * pack), np.uint8)
-    for i in range(pack):
-        out[:, i::pack] = (packed >> np.uint8(bits * i)) & mask
+    for j in range(pack):
+        out[:, j * pc : (j + 1) * pc] = (packed >> np.uint8(bits * j)) & mask
     return out[:, :num_cols]
 
 

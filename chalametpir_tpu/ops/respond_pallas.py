@@ -273,8 +273,8 @@ def _run_lo_only(qd, lo, tile_k, interpret=False):
     )(qd, lo)
 
 
-@partial(jax.jit, static_argnames=("num_queries", "m_pad"))
-def _prepare_query_digits(queries_u32, num_queries, m_pad):
+@partial(jax.jit, static_argnames=("m_pad",))
+def _prepare_query_digits(queries_u32, m_pad):
     """(Q, m) uint32 -> digit-major (4Q padded to 32, m_pad) int8 plus the
     per-digit bias-correction sums 128 * sum_k q_i[k]."""
     q, m = queries_u32.shape
@@ -299,7 +299,7 @@ def respond_packed_core(
     deployment means a fresh remote compile for every new database."""
     q, _ = queries_u32.shape
     m_pad = lo.shape[0]
-    qd, sums = _prepare_query_digits(queries_u32, q, m_pad)
+    qd, sums = _prepare_query_digits(queries_u32, m_pad)
 
     if hi is None:
         out_lo = _run_lo_only(qd, lo, tile_k, interpret)

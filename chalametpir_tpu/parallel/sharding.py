@@ -135,7 +135,7 @@ def _packed_partial_i32(queries_local, lo_local, hi_local, db):
     interpret = jax.default_backend() == "cpu"
     q = queries_local.shape[0]
     qd, sums = respond_pallas._prepare_query_digits(
-        queries_local, q, lo_local.shape[0]
+        queries_local, lo_local.shape[0]
     )
     if hi_local is None:
         out_lo = respond_pallas._run_lo_only(qd, lo_local, db.tile_k, interpret)

@@ -39,7 +39,7 @@ def leanloop(qd, k):
     return jnp.max(jax.lax.fori_loop(0, k, body, qd))
 
 
-qd, _ = _prepare_query_digits(jnp.zeros((1, m), jnp.uint32), 1, m_pad)
+qd, _ = _prepare_query_digits(jnp.zeros((1, m), jnp.uint32), m_pad)
 t0 = time.perf_counter()
 v = float(np.asarray(leanloop(qd, 1)))
 print(f"lean compile+first: {time.perf_counter()-t0:.1f}s", flush=True)

@@ -17,7 +17,7 @@ for tile_k in (512, 1024, 2048):
             out = _scan(qd)
             return qd ^ (jnp.max(out) & 1).astype(jnp.int8)
         return jnp.max(jax.lax.fori_loop(0, k, body, qd))
-    qd, _ = _prepare_query_digits(jnp.zeros((1, m), jnp.uint32), 1, m_pad)
+    qd, _ = _prepare_query_digits(jnp.zeros((1, m), jnp.uint32), m_pad)
     t0 = time.perf_counter()
     float(np.asarray(leanloop(qd, 1)))
     tc = time.perf_counter() - t0

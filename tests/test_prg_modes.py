@@ -72,6 +72,22 @@ def test_round_trip_ctr_mode(backend, rng):
         assert client.process_response(key, server.respond(q)) == db[key]
 
 
+@pytest.mark.parametrize(
+    "backend,layout",
+    [("numpy", "auto"), ("jax", "digit2"), ("jax", "packed")],
+)
+def test_unknown_prg_mode_rejected(backend, layout, rng):
+    """Every backend/layout path must fail closed on an unknown prg_mode
+    (e.g. a typo like 'ctr ') instead of silently building a stream-mode
+    hint that only surfaces as RowNotDecodable at retrieval time."""
+    db = generate_random_kv_database(60, rng=rng, value_byte_len=(1, 16))
+    with pytest.raises(ValueError, match="unknown prg mode"):
+        Server.setup(
+            rng.bytes(32), db, backend=backend, layout=layout,
+            prg_mode="ctr ", rng=rng,
+        )
+
+
 def test_mode_mismatch_fails_closed(rng):
     db = generate_random_kv_database(300, rng=rng, value_byte_len=(1, 32))
     seed = rng.bytes(32)

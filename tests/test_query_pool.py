@@ -153,6 +153,35 @@ def test_query_batch_overflow_retry_is_pool_neutral(pir_pair):
         assert client.process_response(key, server.respond(q)) == db[key]
 
 
+def test_query_batch_unwinds_pending_on_retry_exhaustion(pir_pair):
+    """If a key exhausts the overflow retry cap mid-batch, the caller
+    never receives the earlier keys' query bytes — so those keys must
+    NOT stay registered in _pending (they would be permanently stuck
+    behind PendingQueryExistsForKey). The failed batch must be cleanly
+    retryable once the fault clears."""
+    db, seed, server, hint, fparams = pir_pair
+    client = Client.setup(seed, hint, fparams, device=False, prepared_queries=0)
+    keys = list(db.keys())[60:63]
+
+    orig = client._add_query_indicator
+    fault = {"on": True}
+
+    def always_overflows_middle(query_b, key):
+        if fault["on"] and key == keys[1]:
+            raise ArithmeticOverflowAddingQueryIndicator()
+        return orig(query_b, key)
+
+    client._add_query_indicator = always_overflows_middle
+    with pytest.raises(ArithmeticOverflowAddingQueryIndicator):
+        client.query_batch(keys)
+    assert not any(k in client._pending for k in keys)
+
+    fault["on"] = False  # fault cleared: the same batch simply retries
+    queries = client.query_batch(keys)
+    for key, q in zip(keys, queries):
+        assert client.process_response(key, server.respond(q)) == db[key]
+
+
 def test_auto_refill_query_batch_interleaving(pir_pair):
     """query_batch drains the pool through the same refill trigger as
     query(): after a batch empties it, the background thread restores the

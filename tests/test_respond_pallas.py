@@ -18,6 +18,33 @@ def test_pack_roundtrip(b, rng):
     assert db.bytes_per_element == pytest.approx(expected_bpe, rel=0.2)
 
 
+@pytest.mark.parametrize("b", [9, 10, 12])
+def test_pack_db_layout_matches_kernel(b, rng):
+    """pack_db and build_pallas_db emit the SAME block-interleaved hi
+    layout: a PackedDB's planes must be directly consumable by the
+    Pallas kernel. Uses a lane-aligned geometry so the two builders'
+    packed widths coincide; then compares the hi planes byte-for-byte
+    and pins the kernel-style unpack (shift/mask each field, concatenate
+    field blocks along columns) against the raw high bytes."""
+    from chalametpir_tpu.ops.packed import hi_pack_factor
+
+    m, c = 64, 256  # c a multiple of LANE=128 -> no column padding
+    mat = rng.integers(0, 1 << b, size=(m, c), dtype=np.uint32)
+    host = packed.pack_db(mat, b)
+    dev = build_pallas_db(mat, b, tile_k=64)
+    hi_dev = np.asarray(dev.hi)[:m]
+    assert np.array_equal(host.hi_packed, hi_dev)
+    # kernel unpack (respond_pallas._kernel_with_hi): field j -> block j
+    pack = hi_pack_factor(b)
+    bits = 8 // pack if pack > 1 else 8
+    mask = (1 << bits) - 1
+    hp = host.hi_packed.astype(np.int32)
+    unpacked = np.concatenate(
+        [(hp >> (bits * j)) & mask for j in range(max(pack, 1))], axis=1
+    )
+    assert np.array_equal(unpacked[:, :c].astype(np.uint8), (mat >> 8).astype(np.uint8))
+
+
 @pytest.mark.parametrize("b", [8, 9, 10, 12])
 @pytest.mark.parametrize("q", [1, 5])
 def test_respond_packed_exact(b, q, rng):
