@@ -83,14 +83,21 @@ class BinaryFuseFilter:
 
         ok = (
             arity in (3, 4)
-            and seg_len > 0
-            and seg_cnt_len > 0
             and filt_size > 0
             and MIN_CIPHER_TEXT_BIT_LEN <= bit_len <= MAX_CIPHER_TEXT_BIT_LEN
-            # geometry identity (binary_fuse_filter.rs:52-67): the row
-            # space hash_batch targets is exactly seg_cnt_len plus the
-            # arity-1 trailing segments
-            and num_fp == seg_cnt_len + (arity - 1) * seg_len
+            # full geometry consistency: construction always derives
+            # (seg_len, seg_cnt_len, num_fp) as a pure function of
+            # (arity, filter_size) — both here (construct_filter) and in
+            # the reference (binary_fuse_filter.rs:52-67, same formulas),
+            # so a legit blob ALWAYS satisfies exact equality. This is
+            # strictly stronger than checking the num_fp identity alone:
+            # hash_batch's index-bound proof (max row = num_fp - 1) needs
+            # seg_len to be a power of two and seg_cnt_len a multiple of
+            # it, and decoupling num_fp from filt_size would let a
+            # hostile 68-byte blob drive a multi-TB matrix-A expansion
+            # in Client.setup
+            and (seg_len, seg_cnt_len, num_fp)
+            == filter_geometry(arity, filt_size)
         )
         if not ok:
             raise FailedToDeserializeFilterFromBytes()
@@ -127,11 +134,26 @@ def size_factor(arity: int, size: int) -> float:
     return 2.0
 
 
+def _round_half_away(x: float) -> int:
+    """Rust f64::round() semantics: nearest integer, ties away from zero.
+    Python's round() is banker's (ties to even) — for db_size*size_factor
+    landing exactly on a half-integer the two disagree by 1, which can
+    shift the segment count and desynchronize the filter geometry from a
+    Rust peer's. Exact for non-negative x (our only inputs)."""
+    f = math.floor(x)
+    return f + 1 if x - f >= 0.5 else f
+
+
 def filter_geometry(arity: int, db_size: int) -> tuple[int, int, int]:
     """(segment_length, segment_count_length, num_fingerprints) for a DB of
-    `db_size` keys (reference: binary_fuse_filter.rs:52-67)."""
+    `db_size` keys (reference: binary_fuse_filter.rs:52-67; rounding and
+    the saturating f64->u32 capacity cast mirrored exactly)."""
     seg_len = min(segment_length(arity, db_size), 1 << 18)
-    cap = round(db_size * size_factor(arity, db_size)) if db_size > 1 else 0
+    cap = (
+        min(_round_half_away(db_size * size_factor(arity, db_size)), 0xFFFFFFFF)
+        if db_size > 1
+        else 0
+    )
     # (size_factor is undefined at db_size == 1; the reference skips it too)
     init_segment_count = -(-cap // seg_len)
     array_len = init_segment_count * seg_len

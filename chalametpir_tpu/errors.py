@@ -97,8 +97,8 @@ class FailedToDeserializeFilterFromBytes(ChalametPIRError):
 
 
 class KVDatabaseSizeTooLarge(ChalametPIRError):
-    def __init__(self) -> None:
-        super().__init__("The key-value database is too large; it can have a maximum of 2^42 entries.")
+    def __init__(self, msg: str | None = None) -> None:
+        super().__init__(msg or "The key-value database is too large; it can have a maximum of 2^42 entries.")
 
 
 class InvalidHintMatrix(ChalametPIRError):

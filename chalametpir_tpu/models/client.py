@@ -24,6 +24,7 @@ from ..errors import (
     DecodedRowNotPrependedWithDigestOfKey,
     InvalidHintMatrix,
     InvalidResponseVector,
+    KVDatabaseSizeTooLarge,
     PendingQueryDoesNotExistForKey,
     PendingQueryExistsForKey,
 )
@@ -148,6 +149,23 @@ class Client:
         hint_mat_m = matrix_io.matrix_from_bytes(hint_bytes)
         if hint_mat_m.shape[0] != LWE_DIMENSION:
             raise InvalidHintMatrix()
+        if prg_mode != "ctr":
+            # stream mode materialises A = (1774, num_fp) u32 — num_fp is
+            # geometry-validated against the claimed filter_size, but the
+            # 68-byte params still come off the wire, and net/client caps
+            # the hint frame at 1 GiB for exactly this threat class. Bound
+            # the allocation (default 64 GiB clears the 2^23-entry
+            # flagship, ~63 GiB) instead of letting a hostile blob drive
+            # the process into the OOM killer. ctr mode expands A
+            # on-device in O(chunk) and needs no bound here.
+            a_bytes = 4 * LWE_DIMENSION * filt.num_fingerprints
+            max_a = int(os.environ.get("PIR_CLIENT_MAX_A_BYTES", 1 << 36))
+            if a_bytes > max_a:
+                raise KVDatabaseSizeTooLarge(
+                    f"filter params imply a {a_bytes / 2**30:.0f} GiB matrix-A "
+                    f"expansion (> {max_a / 2**30:.0f} GiB cap; raise "
+                    "PIR_CLIENT_MAX_A_BYTES or use prg_mode='ctr')"
+                )
 
         auto = device == "auto"
         if auto:

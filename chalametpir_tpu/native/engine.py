@@ -33,7 +33,11 @@ def _src_digest() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # ISA extension list: "flags" on x86, "Features" on
+                # arm64 — missing either would let a stale
+                # -march=native binary survive a CPU change (the exact
+                # SIGILL the stamp exists to prevent)
+                if line.startswith(("flags", "Features")):
                     h.update(line.encode())
                     break
     except OSError:
@@ -248,8 +252,7 @@ def hash_keys(keys: list[bytes]) -> np.ndarray:
     """(n, 4) uint64 digest words, like core.hashing.hash_of_keys_batch."""
     n = len(keys)
     offsets = np.zeros(n + 1, np.int64)
-    for i, k in enumerate(keys):
-        offsets[i + 1] = offsets[i] + len(k)
+    np.cumsum(np.fromiter(map(len, keys), np.int64, count=n), out=offsets[1:])
     data = np.frombuffer(b"".join(keys), np.uint8) if offsets[-1] else np.zeros(1, np.uint8)
     out = np.empty((n, 32), np.uint8)
     _lib.ts128_hash_keys(_ptr(data, _u8p), _ptr(offsets, _i64p), n, _ptr(out, _u8p))
@@ -275,8 +278,7 @@ def encode_rows(digests: np.ndarray, values: list[bytes], b: int, cols: int) -> 
     digests = np.ascontiguousarray(digests, np.uint8)
     n = digests.shape[0]
     offsets = np.zeros(n + 1, np.int64)
-    for i, v in enumerate(values):
-        offsets[i + 1] = offsets[i] + len(v)
+    np.cumsum(np.fromiter(map(len, values), np.int64, count=n), out=offsets[1:])
     data = np.frombuffer(b"".join(values), np.uint8) if offsets[-1] else np.zeros(1, np.uint8)
     out = alloc_array((n, cols), np.uint32)
     _lib.encode_rows(

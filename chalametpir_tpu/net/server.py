@@ -205,6 +205,12 @@ class PirTcpServer:
                     break
                 write_frame(writer, response)
                 await writer.drain()
+        except (ConnectionResetError, BrokenPipeError):
+            # a peer aborting mid-handshake or mid-response is the same
+            # normal departure the read path treats as EOF — without this
+            # the drain() raise escapes handle() as an unhandled task
+            # exception logged on every ordinary client abort
+            pass
         finally:
             writer.close()
             try:

@@ -4,7 +4,7 @@
 import numpy as np
 import pytest
 
-from chalametpir_tpu.core import hashing
+from chalametpir_tpu.core import filter, hashing
 from chalametpir_tpu.core.filter import (
     BinaryFuseFilter,
     construct_filter,
@@ -103,12 +103,13 @@ def test_empty_db_rejected(rng):
 
 
 def test_param_serde_roundtrip(rng):
+    seg_len, seg_cnt_len, num_fp = filter.filter_geometry(4, 100000)
     filt = BinaryFuseFilter(
         seed=rng.bytes(32),
         arity=4,
-        segment_length=1 << 10,
-        segment_count_length=7 << 10,
-        num_fingerprints=(7 << 10) + 3 * (1 << 10),  # geometry identity
+        segment_length=seg_len,
+        segment_count_length=seg_cnt_len,
+        num_fingerprints=num_fp,
         filter_size=100000,
         mat_elem_bit_len=9,
     )
@@ -125,13 +126,18 @@ def test_param_serde_rejects_bad_length():
 def test_param_serde_rejects_hostile_values(rng):
     """The 68-byte params come off the wire from the server; every later
     consumer indexes with them unchecked, so corruption must surface as
-    the typed error at parse time, not an IndexError inside query()."""
+    the typed error at parse time, not an IndexError inside query().
+    from_bytes enforces FULL geometry consistency — (seg_len,
+    seg_cnt_len, num_fp) must equal filter_geometry(arity, filter_size)
+    exactly, as every legit filter (ours or the reference's) does by
+    construction."""
+    seg_len, seg_cnt_len, num_fp = filter.filter_geometry(3, 5000)
     good = BinaryFuseFilter(
         seed=rng.bytes(32),
         arity=3,
-        segment_length=1 << 10,
-        segment_count_length=6 << 10,
-        num_fingerprints=(6 << 10) + 2 * (1 << 10),
+        segment_length=seg_len,
+        segment_count_length=seg_cnt_len,
+        num_fingerprints=num_fp,
         filter_size=5000,
         mat_elem_bit_len=10,
     )
@@ -144,7 +150,31 @@ def test_param_serde_rejects_hostile_values(rng):
         dict(mat_elem_bit_len=3),
         dict(mat_elem_bit_len=15),
         dict(num_fingerprints=good.num_fingerprints + 1),
+        # non-power-of-two seg_len satisfying the bare num_fp identity:
+        # hash_batch's index-bound proof (max row = num_fp - 1) fails,
+        # yielding out-of-range rows -> IndexError deep in query()
+        dict(segment_length=5, segment_count_length=10,
+             num_fingerprints=10 + 2 * 5, filter_size=20),
+        # identity-consistent but inflated geometry decoupled from
+        # filter_size: would drive a multi-TB matrix-A expansion
+        dict(segment_length=1 << 18,
+             segment_count_length=(1 << 31),
+             num_fingerprints=(1 << 31) + 2 * (1 << 18)),
     ):
         bad = BinaryFuseFilter(**{**good.__dict__, **mutate})
         with pytest.raises(FailedToDeserializeFilterFromBytes):
             BinaryFuseFilter.from_bytes(bad.to_bytes())
+
+
+def test_round_half_away_matches_rust():
+    """filter_geometry's capacity round mirrors Rust f64::round() (ties
+    away from zero), NOT Python round() (banker's): at db_size*factor
+    landing exactly on .5 the two differ by 1, which can shift the
+    segment count and desynchronize the geometry from a Rust peer."""
+    assert filter._round_half_away(2.5) == 3  # Python round(2.5) == 2
+    assert filter._round_half_away(3.5) == 4
+    assert filter._round_half_away(2.4999999999999996) == 2
+    assert filter._round_half_away(1125004.5) == 1125005  # 1000004 * 1.125
+    # the saturating f64 -> u32 cast: huge claimed sizes cap, not wrap
+    g = filter.filter_geometry(3, 0xFFFFFFFF)
+    assert g[2] <= 0xFFFFFFFF + 2 * (1 << 18) + (1 << 18)

@@ -50,6 +50,44 @@ def test_tcp_multiple_clients(rng):
     assert b[b"plum"] == b"purple"
 
 
+def test_tcp_client_abort_is_quiet(rng):
+    """A peer that dies mid-handshake or mid-query is a normal departure:
+    handle() must swallow the ConnectionReset/BrokenPipe from its writes
+    (not leak an unhandled task exception) and keep serving others."""
+    import socket
+    import struct
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    tcp = PirTcpServer(server, seed, hint, fparams)
+    loop_errors = []
+
+    async def run():
+        asyncio.get_running_loop().set_exception_handler(
+            lambda loop, ctx: loop_errors.append(ctx)
+        )
+        srv = await asyncio.start_server(tcp.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            for payload in (b"", struct.pack("<I", 4) + b"ab"):
+                # RST-abort (SO_LINGER 0) while the server is mid-write:
+                # its next drain() raises ConnectionResetError
+                s = socket.create_connection(("127.0.0.1", port))
+                s.setsockopt(
+                    socket.SOL_SOCKET, socket.SO_LINGER,
+                    struct.pack("ii", 1, 0),
+                )
+                if payload:
+                    s.sendall(payload)
+                s.close()
+            await asyncio.sleep(0.2)  # let the aborted handlers finish
+            return await fetch("127.0.0.1", port, [b"banana"])
+
+    results = asyncio.run(run())
+    assert results[b"banana"] == b"yellow"
+    assert loop_errors == []
+
+
 def test_batch_dispatcher_coalesces_concurrent_queries(rng):
     """Many in-flight queries must be answered by fewer device batches."""
     from chalametpir_tpu.core import matrix_io

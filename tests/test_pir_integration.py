@@ -307,6 +307,31 @@ def test_malformed_wire_inputs_raise_protocol_errors(rng):
         Client.setup(b"short", hint, fparams, device=False)
 
 
+def test_client_setup_bounds_hostile_a_expansion(rng):
+    """A geometry-CONSISTENT filter blob claiming a multi-billion-entry
+    DB would drive stream-mode Client.setup into a multi-TB matrix-A
+    allocation (OOM killer, not a Python exception). The typed cap must
+    fire first; ctr mode expands A on-device in O(chunk) and is exempt."""
+    import pytest as _pytest
+
+    from chalametpir_tpu.core import matrix_io
+    from chalametpir_tpu.core.filter import BinaryFuseFilter, filter_geometry
+    from chalametpir_tpu.errors import KVDatabaseSizeTooLarge
+    from chalametpir_tpu.models.client import Client
+    from chalametpir_tpu.params import LWE_DIMENSION
+
+    filt_size = 1 << 31
+    seg_len, seg_cnt_len, num_fp = filter_geometry(3, filt_size)
+    blob = BinaryFuseFilter(
+        seed=rng.bytes(32), arity=3, segment_length=seg_len,
+        segment_count_length=seg_cnt_len, num_fingerprints=num_fp,
+        filter_size=filt_size, mat_elem_bit_len=8,
+    ).to_bytes()
+    hint = matrix_io.matrix_to_bytes(np.zeros((LWE_DIMENSION, 8), np.uint32))
+    with _pytest.raises(KVDatabaseSizeTooLarge, match="PIR_CLIENT_MAX_A_BYTES"):
+        Client.setup(rng.bytes(32), hint, blob, device=False)
+
+
 def test_setup_rejects_unencodable_inputs(rng):
     """Input-validation contracts: 0-byte values would be permanently
     unretrievable (the row codec needs the 0x81 marker strictly after the

@@ -63,19 +63,22 @@ def test_matrix_serde_roundtrip_random(rng):
 
 
 def test_filter_param_serde_roundtrip_random(rng):
+    from chalametpir_tpu.core.filter import filter_geometry
+
     for _ in range(ITERS * 4):
         arity = int(rng.integers(3, 5))
-        seg_len = int(rng.integers(1, 1 << 18))
-        seg_cnt_len = int(rng.integers(1, 1 << 10)) * seg_len
+        # from_bytes enforces FULL geometry consistency with
+        # filter_geometry(arity, filter_size) — the fuzz draws a random
+        # size and derives the one legit geometry, like construction does
+        filt_size = int(rng.integers(1, 1 << 26))
+        seg_len, seg_cnt_len, num_fp = filter_geometry(arity, filt_size)
         filt = BinaryFuseFilter(
             seed=rng.bytes(32),
             arity=arity,
             segment_length=seg_len,
             segment_count_length=seg_cnt_len,
-            # from_bytes enforces the construction-time geometry identity
-            # (hash_batch's row space), so the fuzz stays inside it
-            num_fingerprints=seg_cnt_len + (arity - 1) * seg_len,
-            filter_size=int(rng.integers(1, 1 << 40)),
+            num_fingerprints=num_fp,
+            filter_size=filt_size,
             mat_elem_bit_len=int(rng.integers(4, 15)),
         )
         assert BinaryFuseFilter.from_bytes(filt.to_bytes()) == filt
