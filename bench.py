@@ -378,6 +378,34 @@ def make_respond_chain(server):
     return scan_seconds
 
 
+def _setup_stats_fields(rec: dict, server) -> None:
+    """Copy server.setup_stats attribution into a bench row — the ONE
+    mapping for headline and scaling rows alike, so a new stats field
+    can't silently diverge between the two row shapes.
+
+    The fields: measured upload floor from inside the setup itself (the
+    seconds the host link actually held the setup and the bytes it
+    moved; the derived rate is the effective in-pipeline link rate,
+    immune to probe-vs-run weather drift), the per-thread CPU split
+    (models/server.py: on the 1-core host wall == main + worker +
+    runtime(jax dispatch + CPU-driven tunnel transfer) + external by
+    construction), and the worker page-fault count."""
+    stats = getattr(server, "setup_stats", None) or {}
+    if stats.get("upload_bytes"):
+        rec["server_setup_upload_GB"] = round(stats["upload_bytes"] / 1e9, 3)
+        rec["server_setup_upload_s"] = stats["upload_s"]
+        if stats["upload_s"]:
+            rec["server_setup_upload_GBps"] = round(
+                stats["upload_bytes"] / 1e9 / stats["upload_s"], 4
+            )
+        if stats.get("phases_s"):
+            rec["server_setup_phases_s"] = stats["phases_s"]
+    if stats.get("cpu_s"):
+        rec["server_setup_cpu_s"] = stats["cpu_s"]
+    if stats.get("worker_minflt") is not None:
+        rec["server_setup_worker_minflt"] = stats["worker_minflt"]
+
+
 def run_config(log_n, arity, value_len, rng, prg_mode="ctr", batch=None,
                client_device="auto", emit=None):
     """Run one divan config; returns a metrics dict. `emit(partial)` is
@@ -428,24 +456,7 @@ def _run_config(log_n, arity, value_len, rng, prg_mode, batch, client_device,
     # (server.setup_stats) — the seconds the host link actually held the
     # setup and the bytes it moved; the derived rate is the effective
     # in-pipeline link rate, immune to probe-vs-run weather drift
-    stats = getattr(server, "setup_stats", None) or {}
-    if stats.get("upload_bytes"):
-        rec["server_setup_upload_GB"] = round(stats["upload_bytes"] / 1e9, 3)
-        rec["server_setup_upload_s"] = stats["upload_s"]
-        if stats["upload_s"]:
-            rec["server_setup_upload_GBps"] = round(
-                stats["upload_bytes"] / 1e9 / stats["upload_s"], 4
-            )
-        if stats.get("phases_s"):
-            rec["server_setup_phases_s"] = stats["phases_s"]
-    if stats.get("cpu_s"):
-        # measured per-thread CPU split (models/server.py): on the 1-core
-        # host wall == main + worker/producer + runtime(jax dispatch + the
-        # CPU-driven tunnel transfer) + external(core held elsewhere) by
-        # construction — the round-4 "unlabeled 80%" is now labeled
-        rec["server_setup_cpu_s"] = stats["cpu_s"]
-    if stats.get("worker_minflt") is not None:
-        rec["server_setup_worker_minflt"] = stats["worker_minflt"]
+    _setup_stats_fields(rec, server)
 
     # --- respond scan (the headline): measured before any client work so a
     # timeout can never eat it. Uses synthetic uniform queries — the scan
@@ -788,12 +799,7 @@ def _run_scaling_point(log_n, rng, prg_mode="ctr"):
         )
         rec["server_setup_s"] = round(time.perf_counter() - t0, 2)
         rec["b"] = server.mat_elem_bit_len
-        stats = getattr(server, "setup_stats", None) or {}
-        if stats.get("upload_bytes"):
-            rec["server_setup_upload_GB"] = round(stats["upload_bytes"] / 1e9, 3)
-            rec["server_setup_upload_s"] = stats["upload_s"]
-        if stats.get("cpu_s"):
-            rec["server_setup_cpu_s"] = stats["cpu_s"]
+        _setup_stats_fields(rec, server)
         q_rng = np.random.default_rng(0xD15C)
         queries = q_rng.integers(
             0, 1 << 32, size=(1, server.num_query_cols), dtype=np.uint32
@@ -942,7 +948,8 @@ def _link_ceiling_fields(qps: float, m: int, h2d_rate: float | None) -> dict:
     return {"serve_qps_link_ceiling": round(ceiling, 1)}
 
 
-def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
+def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16,
+                   h2d_rate=None):
     """Online serving throughput through the REAL TCP surface (net/):
     n_conns concurrent framed connections into the micro-batching
     dispatcher, device respond batches padded to one compiled shape
@@ -1023,7 +1030,11 @@ def _run_serve_qps(rng, log_n=16, n_conns=16, per_conn=8, max_batch=16):
     rec["serve_qps"] = round(qps, 1)
     rec["serve_batches"] = batches
     rec["serve_queries"] = total_served
-    rec.update(_link_ceiling_fields(qps, m, H2D_RATE))
+    # the caller passes the sustained-corrected rate when it has one (the
+    # startup burst probe has read up to ~8x the rate the link then
+    # sustains; an overstated ceiling misattributes protocol/dispatch
+    # cost as link slack)
+    rec.update(_link_ceiling_fields(qps, m, h2d_rate or H2D_RATE))
     log(f"serve_qps 2^{log_n}: {rec['serve_qps']} q/s over {n_conns} conns "
         f"({batches} device batches; link ceiling "
         f"{rec.get('serve_qps_link_ceiling')})")
@@ -1087,6 +1098,15 @@ def _probe_link():
         probe = np.random.default_rng(7).integers(
             -128, 128, size=32 << 20
         ).astype(np.int8)
+        # compile the drain program at the PROBE shape off the clock (the
+        # 1M warm-up above compiled a different shape): jnp.zeros is
+        # created device-side, so this costs no link transfer, and a cold
+        # compile (remote compile service, seconds-to-minutes) can no
+        # longer land inside the measured h2d window and understate the
+        # rate ~10x — which would mis-gate every upload-priced stage
+        dummy = jnp.zeros(32 << 20, jnp.int8)
+        float(jnp.max(dummy.astype(jnp.int32)))
+        del dummy
         t0 = time.perf_counter()
         d = jax.device_put(probe)
         float(jnp.max(d.astype(jnp.int32)))  # force the transfer to drain
@@ -1322,7 +1342,7 @@ def main() -> None:
     if RUN_MATRIX:
         if left() > 60:
             try:
-                rec = _run_serve_qps(rng)
+                rec = _run_serve_qps(rng, h2d_rate=h2d)
                 res["serve_qps"] = rec["serve_qps"]
             except Exception as e:
                 log(f"serve_qps failed: {e!r}")

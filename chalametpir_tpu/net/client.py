@@ -59,21 +59,39 @@ async def fetch(
     # a valid response is exactly (1, cols) u32 + the 8-byte header
     max_response_frame = client._hint_mat_m.shape[1] * 4 + 64
     results: dict[bytes, bytes | None] = {}
-    for key in keys:
-        query = _query_or_none(client, key)
-        if query is None:
-            results.setdefault(key, None)
-            continue
-        write_frame(writer, query)
-        await writer.drain()
-        response = await read_frame(reader, max_response_frame)
+    try:
+        for key in keys:
+            query = _query_or_none(client, key)
+            if query is None:
+                results.setdefault(key, None)
+                continue
+            try:
+                write_frame(writer, query)
+                await writer.drain()
+                response = await read_frame(reader, max_response_frame)
+            except (asyncio.IncompleteReadError, ConnectionResetError,
+                    BrokenPipeError, ValueError) as exc:
+                # transport death (server drop, network blip, oversized
+                # frame): the connection is gone, so the remaining keys
+                # can't succeed — mark them failed and return the values
+                # already retrieved instead of discarding them with a
+                # traceback (same per-key isolation as the decode path)
+                print(f"Connection lost fetching {key!r}: {exc!r}",
+                      file=sys.stderr)
+                for k in keys:
+                    results.setdefault(k, None)
+                break
+            try:
+                results[key] = client.process_response(key, response)
+            except Exception as exc:  # noqa: BLE001 - report per-key failure
+                print(f"Failed to retrieve {key!r}: {exc}", file=sys.stderr)
+                results[key] = None
+    finally:
+        writer.close()
         try:
-            results[key] = client.process_response(key, response)
-        except Exception as exc:  # noqa: BLE001 - report per-key failure
-            print(f"Failed to retrieve {key!r}: {exc}", file=sys.stderr)
-            results[key] = None
-    writer.close()
-    await writer.wait_closed()
+            await writer.wait_closed()
+        except (ConnectionResetError, BrokenPipeError):
+            pass
     return results
 
 

@@ -50,6 +50,36 @@ def test_tcp_multiple_clients(rng):
     assert b[b"plum"] == b"purple"
 
 
+def test_fetch_returns_partial_results_on_server_drop(rng):
+    """A transport death mid-fetch must not discard the values already
+    retrieved: fetch() marks the remaining keys failed (None) and
+    returns, mirroring its per-key decode isolation."""
+    from chalametpir_tpu.net.framing import read_frame, write_frame
+
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+
+    async def run():
+        async def drop_after_one(reader, writer):
+            writer.write(seed)
+            write_frame(writer, hint)
+            write_frame(writer, fparams)
+            await writer.drain()
+            q = await read_frame(reader, 1 << 24)
+            write_frame(writer, server.respond(q))
+            await writer.drain()
+            writer.close()  # drop before the second query's response
+
+        srv = await asyncio.start_server(drop_after_one, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        async with srv:
+            return await fetch("127.0.0.1", port, [b"banana", b"kiwi", b"plum"])
+
+    results = asyncio.run(run())
+    assert results[b"banana"] == b"yellow"
+    assert results[b"kiwi"] is None and results[b"plum"] is None
+
+
 def test_tcp_client_abort_is_quiet(rng):
     """A peer that dies mid-handshake or mid-query is a normal departure:
     handle() must swallow the ConnectionReset/BrokenPipe from its writes
