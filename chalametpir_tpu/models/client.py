@@ -258,6 +258,12 @@ class Client:
         All `count` secrets ride one batched matvec, so A streams from HBM
         once per batch; the host-side error sampling and s.M unblinding
         matvecs overlap the device dot and readback."""
+        self._prepare_queries(count, record_stats=True)
+
+    def _prepare_queries(self, count: int, record_stats: bool) -> None:
+        """prepare_queries body; the background refill passes
+        record_stats=False so it cannot clobber a foreground caller's
+        prepare_stats attribution from another thread."""
         if count <= 0:
             return
         m = self._filter.num_fingerprints
@@ -290,9 +296,21 @@ class Client:
         entries = [(b_batch[i] + errors[i], vec_cs[i]) for i in range(count)]
         stats["count"] = count
         stats["wall_s"] = round(time.perf_counter() - t0, 3)
-        self.prepare_stats = stats
+        if record_stats:
+            self.prepare_stats = stats
         with self._prepared_lock:
             self._prepared.extend(entries)
+
+    def stop_refill(self, join: bool = True, timeout: float | None = 30.0) -> None:
+        """Quiesce the background auto-refill: clear the target (the loop
+        exits after its current batch) and optionally join the thread.
+        Call before interpreter exit in long-lived processes — a daemon
+        thread terminated mid native/JAX call at CPython finalization is
+        a known crash/hang class."""
+        self._refill_target = 0
+        t = self._refill_thread
+        if join and t is not None and t.is_alive():
+            t.join(timeout=timeout)
 
     @property
     def prepared_query_count(self) -> int:
@@ -325,15 +343,45 @@ class Client:
 
     def _refill_loop(self) -> None:
         """Top the pool back up to the target, re-checking after each batch
-        so pops that happen mid-refill are also covered."""
-        while self._refill_target:
+        so pops that happen mid-refill are also covered.
+
+        The exit decision clears _refill_thread under the SAME lock the
+        spawn check takes: a popper either sees need observed by this
+        loop (which then continues) or sees _refill_thread already
+        cleared (and spawns). With the exit decided outside the lock, a
+        popper could observe the exiting thread as still alive, skip the
+        spawn, and leave the pool below target until the next pop."""
+        while True:
             with self._prepared_lock:
-                need = self._refill_target - len(self._prepared)
-            if need <= 0:
-                return
-            self.prepare_queries(need)
+                need = (self._refill_target or 0) - len(self._prepared)
+                if need <= 0:
+                    self._refill_thread = None
+                    return
+            self._prepare_queries(need, record_stats=False)
 
     # -- query ---------------------------------------------------------------
+
+    def _reserve_pending(self, key: bytes) -> object:
+        """Atomically claim `key` in _pending with a unique token, or
+        raise PendingQueryExistsForKey. dict.setdefault is GIL-atomic,
+        and the token is unique per call, so of two threads querying the
+        same key exactly one wins — the old `key in self._pending`
+        check-then-act let both pass, and the second insert silently
+        overwrote the first Query's unblinding vector (undecodable
+        responses instead of the typed error). The token reads as
+        "no pending query" to process_response/save (isinstance(Query)
+        checks) until the query finalizes."""
+        token = object()
+        if self._pending.setdefault(key, token) is not token:
+            raise PendingQueryExistsForKey()
+        return token
+
+    def _release_reservation(self, key: bytes, token: object) -> None:
+        """Drop a reservation that never finalized (failure paths only).
+        Only removes OUR token: finalize replaced it with the real Query
+        on success, and no other thread can hold this token."""
+        if self._pending.get(key) is token:
+            self._pending.pop(key, None)
 
     def query(self, key: bytes) -> bytes:
         """Build an encrypted query for `key`
@@ -347,20 +395,29 @@ class Client:
         query that overflows is discarded, preserving the reference's
         fresh-randomness retry contract."""
         key = bytes(key)
-        if key in self._pending:
-            raise PendingQueryExistsForKey()
-
-        entry = self._pop_prepared()
-        if entry is not None:
-            return self._finalize_prepared(key, entry)
-        return self.query_inline(key)
+        token = self._reserve_pending(key)
+        try:
+            entry = self._pop_prepared()
+            if entry is not None:
+                return self._finalize_prepared(key, entry)
+            return self._query_inline_reserved(key)
+        except BaseException:
+            self._release_reservation(key, token)
+            raise
 
     def query_inline(self, key: bytes) -> bytes:
         """query() but always computing s.A inline (never from the
         preprocessing pool) — the reference's lazy evaluation order."""
         key = bytes(key)
-        if key in self._pending:
-            raise PendingQueryExistsForKey()
+        token = self._reserve_pending(key)
+        try:
+            return self._query_inline_reserved(key)
+        except BaseException:
+            self._release_reservation(key, token)
+            raise
+
+    def _query_inline_reserved(self, key: bytes) -> bytes:
+        """Inline s.A for a key the caller has already reserved."""
         secret_s = self._sample_ternary(LWE_DIMENSION)
         if self._engine is not None:
             # dispatch s.A on device, overlap the host-side error sampling
@@ -419,9 +476,14 @@ class Client:
         keys = [bytes(k) for k in keys]
         if len(set(keys)) != len(keys):
             raise PendingQueryExistsForKey()
-        for key in keys:
-            if key in self._pending:
-                raise PendingQueryExistsForKey()
+        tokens: dict[bytes, object] = {}
+        try:
+            for key in keys:
+                tokens[key] = self._reserve_pending(key)
+        except PendingQueryExistsForKey:
+            for k, t in tokens.items():
+                self._release_reservation(k, t)
+            raise
 
         from ..params import SERVER_SETUP_MAX_ATTEMPT_COUNT
 
@@ -458,19 +520,23 @@ class Client:
                 except ArithmeticOverflowAddingQueryIndicator:
                     for attempt in range(SERVER_SETUP_MAX_ATTEMPT_COUNT):
                         try:
-                            out.append(self.query_inline(key))
+                            # the key is still reserved by this batch (the
+                            # overflow raise left the token in place)
+                            out.append(self._query_inline_reserved(key))
                             break
                         except ArithmeticOverflowAddingQueryIndicator:
                             continue
                     else:
                         raise
-        except ArithmeticOverflowAddingQueryIndicator:
-            # a key exhausted the retry cap: the caller never receives
-            # `out`, so keys finalized earlier in this batch would be
-            # stuck pending with their query bytes lost. Unwind them so
-            # the whole batch can simply be retried. (Consumed pool
-            # entries stay consumed — that is the documented contract.)
-            for k in keys[: len(out)]:
+        except BaseException:
+            # a key exhausted the retry cap (or anything else blew up):
+            # the caller never receives `out`, so keys finalized earlier
+            # in this batch would be stuck pending with their query bytes
+            # lost, and unfinalized keys still hold reservations. Unwind
+            # both so the whole batch can simply be retried. (Consumed
+            # pool entries stay consumed — that is the documented
+            # contract.)
+            for k in keys:
                 self._pending.pop(k, None)
             raise
         return out
@@ -505,7 +571,9 @@ class Client:
         (reference: client.rs:209-275)."""
         key = bytes(key)
         pending = self._pending.get(key)
-        if pending is None:
+        # a reservation token (query() still in flight on another thread)
+        # reads as "no pending query": the caller cannot have its bytes yet
+        if not isinstance(pending, Query):
             raise PendingQueryDoesNotExistForKey()
 
         b = self._filter.mat_elem_bit_len
@@ -527,7 +595,10 @@ class Client:
                 # malformed response: the pending query survives, exactly
                 # like the reference's early-return (client.rs:210-217)
                 raise InvalidResponseVector()
-            del self._pending[key]
+            if self._pending.pop(key, None) is None:
+                # a concurrent same-key process_response consumed it first
+                # (pop is GIL-atomic; get-then-del raised a bare KeyError)
+                raise PendingQueryDoesNotExistForKey()
             if result == -1:
                 from ..errors import RowNotDecodable
 
@@ -565,8 +636,9 @@ class Client:
             kv = codec.decode_kv_from_row(plaintext, b)
         finally:
             # the reference removes the pending query on success and on
-            # decode failure alike (client.rs:267)
-            del self._pending[key]
+            # decode failure alike (client.rs:267); pop, not del — a
+            # concurrent same-key call may have already consumed it
+            self._pending.pop(key, None)
         digest_bytes = np.asarray(digest).view(np.uint8).tobytes()
         if kv[:32] != digest_bytes:
             raise DecodedRowNotPrependedWithDigestOfKey()
@@ -598,8 +670,14 @@ class Client:
             raise ValueError("client was constructed without a seed; cannot save")
         # one atomic snapshot of the pending dict: a concurrent
         # process_response() popping a key between "list the keys" and
-        # "read each entry" must not KeyError the save
-        pending = dict(self._pending)
+        # "read each entry" must not KeyError the save. Reservation
+        # tokens (queries still in flight on other threads) are skipped —
+        # their callers have no query bytes yet, so there is nothing to
+        # resume
+        pending = {
+            k: v for k, v in dict(self._pending).items()
+            if isinstance(v, Query)
+        }
         pend_keys = list(pending.keys())
         arrays = dict(
             hint=self._hint_mat_m,
@@ -656,7 +734,8 @@ class Client:
     # -- benchmarking hooks (reference: client.rs:60-71) -----------------------
 
     def discard_query(self, key: bytes) -> Query | None:
-        return self._pending.pop(bytes(key), None)
+        q = self._pending.pop(bytes(key), None)
+        return q if isinstance(q, Query) else None
 
     def insert_query(self, key: bytes, query: Query) -> None:
         self._pending[bytes(key)] = query

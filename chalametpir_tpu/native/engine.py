@@ -66,13 +66,20 @@ def _build() -> None:
         fcntl.flock(lock, fcntl.LOCK_EX)
         if os.path.exists(_SO) and _stamp_ok():
             return  # the other process built it while we waited
+        # digest BEFORE make: if a checkout replaces engine.cpp during the
+        # build window, stamping the post-make digest would mark a binary
+        # compiled from the OLD source as fresh for the NEW source — a
+        # stale-ABI .so the stamp mechanism exists to prevent, persisting
+        # until the next source edit. With the pre-make digest, the worst
+        # case is one redundant rebuild on the next import.
+        digest = _src_digest()
         subprocess.run(
             ["make", "-s", "-C", _DIR, "libchalametpir_native.so"],
             check=True,
             capture_output=True,
         )
         with open(_STAMP, "w") as f:
-            f.write(_src_digest())
+            f.write(digest)
 
 
 if not os.path.exists(_SO) or not _stamp_ok():

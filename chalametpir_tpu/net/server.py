@@ -181,10 +181,23 @@ class PirTcpServer:
         # frame reader there so a hostile 4-byte length prefix cannot make
         # this process buffer gigabytes
         self._max_query_frame = server.num_query_cols * 4 + 64
+        self._active = 0  # connections currently inside handle()
+
+    async def wait_idle(self, timeout: float = 10.0) -> bool:
+        """Wait (bounded) until no connection handler is live — i.e.
+        every response write has flushed and the peers disconnected.
+        Orderly-shutdown helper: aclose() only quiesces the DISPATCHER;
+        the responses it produced may still be sitting in handler tasks
+        that asyncio.run teardown would cancel mid-write."""
+        deadline = asyncio.get_running_loop().time() + timeout
+        while self._active and asyncio.get_running_loop().time() < deadline:
+            await asyncio.sleep(0.02)
+        return self._active == 0
 
     async def handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
         print(f"New connection from PIR client @ {peer}", file=sys.stderr)
+        self._active += 1
         try:
             writer.write(self._seed)
             write_frame(writer, self._hint)
@@ -203,6 +216,11 @@ class PirTcpServer:
                 except ChalametPIRError as exc:
                     print(f"Bad query from {peer}: {exc}", file=sys.stderr)
                     break
+                except ConnectionError:
+                    # dispatcher closed/stopped under this request (server
+                    # shutdown racing a late query): drop the peer cleanly
+                    # instead of leaking an unhandled task exception
+                    break
                 write_frame(writer, response)
                 await writer.drain()
         except (ConnectionResetError, BrokenPipeError):
@@ -212,6 +230,7 @@ class PirTcpServer:
             # exception logged on every ordinary client abort
             pass
         finally:
+            self._active -= 1
             writer.close()
             try:
                 await writer.wait_closed()

@@ -235,14 +235,35 @@ def _batch_max_len(server, max_batch: int) -> int:
 def leader_respond_batch_fn(server, max_batch: int = DEFAULT_SERVE_BATCH):
     """Wrap server.respond_batch for the leader's BatchDispatcher: each
     batch is broadcast to the worker processes, then answered by the
-    collective respond all processes now run together."""
+    collective respond all processes now run together.
+
+    SPMD failure contract: if the leader's respond raises AFTER its
+    batch broadcast, the workers are already inside that batch's
+    collective and the process group is desynchronized — continuing to
+    serve would issue a MISMATCHED collective (the next batch's header
+    broadcast against the workers' stuck respond psum) and wedge the
+    transport with no error anywhere. The wrapper therefore poisons
+    itself: every later call fails fast, so the serving group dies
+    loudly and a supervisor restarts it together (the same contract
+    worker_respond_loop documents for a dying worker)."""
     from ..core import matrix_io
 
     max_len = _batch_max_len(server, max_batch)
+    state = {"poisoned": False}
 
     def respond_batch(rows: np.ndarray) -> np.ndarray:
+        if state["poisoned"]:
+            raise RuntimeError(
+                "multi-host serving poisoned: a collective respond failed "
+                "after its batch broadcast; the SPMD processes are "
+                "desynchronized — restart the serving group"
+            )
         broadcast_query(matrix_io.matrix_to_bytes(rows), max_len=max_len)
-        return server.respond_batch(rows)
+        try:
+            return server.respond_batch(rows)
+        except BaseException:
+            state["poisoned"] = True
+            raise
 
     return respond_batch
 
@@ -265,4 +286,18 @@ def worker_respond_loop(server, max_batch: int = DEFAULT_SERVE_BATCH) -> None:
         frame = broadcast_query(None, max_len=max_len)
         if frame is None:
             return
-        server.respond_batch(matrix_io.matrix_from_bytes(frame))
+        try:
+            server.respond_batch(matrix_io.matrix_from_bytes(frame))
+        except BaseException as exc:
+            # a worker-side respond failure desynchronizes the SPMD group
+            # (the leader is inside this batch's collective): exit LOUDLY
+            # so the supervisor restarts the group, instead of silently
+            # leaving the loop while the leader keeps serving into a wedge
+            import sys
+
+            print(
+                f"worker_respond_loop: collective respond failed ({exc!r});"
+                " the serving group is desynchronized — restart it together",
+                file=sys.stderr, flush=True,
+            )
+            raise

@@ -214,10 +214,15 @@ def _serve_tcp(args, pid, server, seed, hint, fparams) -> None:
         # quiesce BEFORE the shutdown broadcast: aclose() guarantees no
         # batch broadcast is running or can start, so the shutdown
         # collective below is strictly ordered after every batch
-        # collective (a late extra query gets a clean ConnectionError);
-        # the grace sleep lets in-flight response writes flush
+        # collective (a late extra query gets a clean ConnectionError).
+        # Then wait for the handler tasks to finish FLUSHING the
+        # responses the dispatcher produced — a fixed grace sleep lost
+        # the final frame to asyncio.run teardown cancelling a handler
+        # mid-write on a contended host
         await tcp._dispatcher.aclose()
-        await asyncio.sleep(0.2)
+        if not await tcp.wait_idle(timeout=10.0):
+            print("warning: connections still active at shutdown",
+                  file=sys.stderr, flush=True)
 
     asyncio.run(serve())
     multihost.broadcast_shutdown(
