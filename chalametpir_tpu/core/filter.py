@@ -81,23 +81,34 @@ class BinaryFuseFilter:
         # with the typed error, not as a raw IndexError deep in query()
         from ..params import MAX_CIPHER_TEXT_BIT_LEN, MIN_CIPHER_TEXT_BIT_LEN
 
+        # STRUCTURAL geometry validation — every property a consumer
+        # relies on, without requiring bit-equality with the locally
+        # recomputed filter_geometry (whose log/floor expressions could
+        # differ from a Rust peer's libm by 1 ULP at a floor boundary;
+        # exact recomputation would hard-reject that peer's valid blob):
+        #  * seg_len a power of two <= 2^18 and seg_cnt_len a positive
+        #    multiple of it: with the num_fp identity these are exactly
+        #    what hash_batch's index-bound proof needs (max row index =
+        #    seg_cnt_len - 1 + (arity-1)*seg_len = num_fp - 1), so no
+        #    blob can drive out-of-range rows -> IndexError in query()
+        #  * num_fp commensurate with the claimed filter_size: by
+        #    construction num_fp <= cap + arity*seg_len with
+        #    cap <= size_factor*filt_size + 1 and size_factor < 7 for
+        #    every size >= 2 (max at size 2), so a hostile blob cannot
+        #    decouple num_fp from filt_size to inflate the client's
+        #    matrix-A expansion (Client.setup additionally caps the
+        #    absolute allocation)
         ok = (
             arity in (3, 4)
             and filt_size > 0
             and MIN_CIPHER_TEXT_BIT_LEN <= bit_len <= MAX_CIPHER_TEXT_BIT_LEN
-            # full geometry consistency: construction always derives
-            # (seg_len, seg_cnt_len, num_fp) as a pure function of
-            # (arity, filter_size) — both here (construct_filter) and in
-            # the reference (binary_fuse_filter.rs:52-67, same formulas),
-            # so a legit blob ALWAYS satisfies exact equality. This is
-            # strictly stronger than checking the num_fp identity alone:
-            # hash_batch's index-bound proof (max row = num_fp - 1) needs
-            # seg_len to be a power of two and seg_cnt_len a multiple of
-            # it, and decoupling num_fp from filt_size would let a
-            # hostile 68-byte blob drive a multi-TB matrix-A expansion
-            # in Client.setup
-            and (seg_len, seg_cnt_len, num_fp)
-            == filter_geometry(arity, filt_size)
+            and 0 < seg_len <= (1 << 18)
+            and (seg_len & (seg_len - 1)) == 0
+            and seg_cnt_len >= seg_len
+            and seg_cnt_len % seg_len == 0
+            # geometry identity (binary_fuse_filter.rs:52-67)
+            and num_fp == seg_cnt_len + (arity - 1) * seg_len
+            and num_fp <= 7 * filt_size + arity * seg_len + 1
         )
         if not ok:
             raise FailedToDeserializeFilterFromBytes()

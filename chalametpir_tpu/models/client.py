@@ -86,6 +86,9 @@ class Client:
         self._seed = seed  # retained for save(); public protocol material
         self._prg_mode = prg_mode
         self._pending: dict[bytes, Query] = {}
+        # guards compare-and-pop on _pending (reservation itself is a
+        # GIL-atomic setdefault and needs no lock)
+        self._pending_mutex = threading.Lock()
         # FrodoPIR query preprocessing (ia.cr/2022/981: the (b, c) pair is
         # key-independent, so the paper's client prepares it offline; the
         # reference computes it lazily inside query(), client.rs:106-107,
@@ -376,12 +379,21 @@ class Client:
             raise PendingQueryExistsForKey()
         return token
 
+    def _pop_pending_if(self, key: bytes, expected: object) -> bool:
+        """Atomically remove _pending[key] only if it is still `expected`
+        (a get-then-pop would let a concurrent consume + re-query land a
+        NEW entry between the two ops and destroy it)."""
+        with self._pending_mutex:
+            if self._pending.get(key) is expected:
+                del self._pending[key]
+                return True
+            return False
+
     def _release_reservation(self, key: bytes, token: object) -> None:
         """Drop a reservation that never finalized (failure paths only).
         Only removes OUR token: finalize replaced it with the real Query
         on success, and no other thread can hold this token."""
-        if self._pending.get(key) is token:
-            self._pending.pop(key, None)
+        self._pop_pending_if(key, token)
 
     def query(self, key: bytes) -> bytes:
         """Build an encrypted query for `key`
@@ -487,29 +499,35 @@ class Client:
 
         from ..params import SERVER_SETUP_MAX_ATTEMPT_COUNT
 
-        n_pool_target = len(keys)
-        pool_entries = []
-        with self._prepared_lock:
-            while self._prepared and len(pool_entries) < n_pool_target:
-                pool_entries.append(self._prepared.pop())
-            self._maybe_spawn_refill_locked()
-        fresh_keys = keys[len(pool_entries) :]
-        if fresh_keys:
-            codes = np.stack([self._sample_ternary(LWE_DIMENSION) for _ in fresh_keys])
-            if self._engine is not None:
-                # dispatch without waiting and hand each key its (1, m_pad)
-                # device row: _finalize_query runs the host-side work
-                # (error sampling, the s . M matvec) BEFORE materialising
-                # it, overlapping the device dot + readback like the
-                # inline and prepare paths do
-                b_dev = self._engine.matvec_batch_async(codes)
-                b_batch = [b_dev[j : j + 1] for j in range(len(fresh_keys))]
-            else:
-                b_batch = np.stack(
-                    [self._ternary_matvec(c, self._pub_mat_a) for c in codes]
-                )
+        # everything from here runs with the keys reserved, so the unwind
+        # below must cover it ALL — a sampling/engine failure outside the
+        # try would leak the reservations and leave the keys permanently
+        # unqueryable for this client's lifetime
         out = []
         try:
+            n_pool_target = len(keys)
+            pool_entries = []
+            with self._prepared_lock:
+                while self._prepared and len(pool_entries) < n_pool_target:
+                    pool_entries.append(self._prepared.pop())
+                self._maybe_spawn_refill_locked()
+            fresh_keys = keys[len(pool_entries) :]
+            if fresh_keys:
+                codes = np.stack(
+                    [self._sample_ternary(LWE_DIMENSION) for _ in fresh_keys]
+                )
+                if self._engine is not None:
+                    # dispatch without waiting and hand each key its
+                    # (1, m_pad) device row: _finalize_query runs the
+                    # host-side work (error sampling, the s . M matvec)
+                    # BEFORE materialising it, overlapping the device dot
+                    # + readback like the inline and prepare paths do
+                    b_dev = self._engine.matvec_batch_async(codes)
+                    b_batch = [b_dev[j : j + 1] for j in range(len(fresh_keys))]
+                else:
+                    b_batch = np.stack(
+                        [self._ternary_matvec(c, self._pub_mat_a) for c in codes]
+                    )
             for i, key in enumerate(keys):
                 try:
                     if i < len(pool_entries):
@@ -595,9 +613,11 @@ class Client:
                 # malformed response: the pending query survives, exactly
                 # like the reference's early-return (client.rs:210-217)
                 raise InvalidResponseVector()
-            if self._pending.pop(key, None) is None:
-                # a concurrent same-key process_response consumed it first
-                # (pop is GIL-atomic; get-then-del raised a bare KeyError)
+            if not self._pop_pending_if(key, pending):
+                # a concurrent same-key process_response consumed the
+                # entry first (and a new query may even have re-landed at
+                # this key — never pop THAT one); get-then-del used to
+                # raise a bare KeyError here
                 raise PendingQueryDoesNotExistForKey()
             if result == -1:
                 from ..errors import RowNotDecodable
@@ -636,9 +656,14 @@ class Client:
             kv = codec.decode_kv_from_row(plaintext, b)
         finally:
             # the reference removes the pending query on success and on
-            # decode failure alike (client.rs:267); pop, not del — a
-            # concurrent same-key call may have already consumed it
-            self._pending.pop(key, None)
+            # decode failure alike (client.rs:267); compare-and-pop THE
+            # ENTRY WE VALIDATED — a concurrent consume + re-query could
+            # have landed a new Query at this key
+            removed = self._pop_pending_if(key, pending)
+        if not removed:
+            # a concurrent same-key call consumed the entry first: same
+            # typed error the native path raises (never double-succeed)
+            raise PendingQueryDoesNotExistForKey()
         digest_bytes = np.asarray(digest).view(np.uint8).tobytes()
         if kv[:32] != digest_bytes:
             raise DecodedRowNotPrependedWithDigestOfKey()

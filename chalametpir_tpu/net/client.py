@@ -69,8 +69,9 @@ async def fetch(
                 write_frame(writer, query)
                 await writer.drain()
                 response = await read_frame(reader, max_response_frame)
-            except (asyncio.IncompleteReadError, ConnectionResetError,
-                    BrokenPipeError, ValueError) as exc:
+            except (asyncio.IncompleteReadError, ConnectionError,
+                    ValueError) as exc:
+                # ConnectionError covers reset/aborted/broken-pipe alike
                 # transport death (server drop, network blip, oversized
                 # frame): the connection is gone, so the remaining keys
                 # can't succeed — mark them failed and return the values
@@ -90,7 +91,7 @@ async def fetch(
         writer.close()
         try:
             await writer.wait_closed()
-        except (ConnectionResetError, BrokenPipeError):
+        except ConnectionError:
             pass
     return results
 

@@ -223,18 +223,19 @@ class PirTcpServer:
                     break
                 write_frame(writer, response)
                 await writer.drain()
-        except (ConnectionResetError, BrokenPipeError):
-            # a peer aborting mid-handshake or mid-response is the same
-            # normal departure the read path treats as EOF — without this
-            # the drain() raise escapes handle() as an unhandled task
-            # exception logged on every ordinary client abort
+        except ConnectionError:
+            # a peer aborting mid-handshake or mid-response (reset,
+            # aborted, broken pipe) is the same normal departure the read
+            # path treats as EOF — without this the drain() raise escapes
+            # handle() as an unhandled task exception on every ordinary
+            # client abort
             pass
         finally:
             self._active -= 1
             writer.close()
             try:
                 await writer.wait_closed()
-            except (ConnectionResetError, BrokenPipeError):
+            except ConnectionError:
                 pass
 
     async def serve(self, host: str, port: int):

@@ -127,10 +127,12 @@ def test_param_serde_rejects_hostile_values(rng):
     """The 68-byte params come off the wire from the server; every later
     consumer indexes with them unchecked, so corruption must surface as
     the typed error at parse time, not an IndexError inside query().
-    from_bytes enforces FULL geometry consistency — (seg_len,
-    seg_cnt_len, num_fp) must equal filter_geometry(arity, filter_size)
-    exactly, as every legit filter (ours or the reference's) does by
-    construction."""
+    from_bytes enforces the STRUCTURAL geometry contract (power-of-two
+    seg_len, seg_cnt_len a multiple, the num_fp identity, num_fp
+    commensurate with filter_size) — every property the index-bound
+    proof and the client's allocation bound rely on, without requiring
+    bit-equality with the locally recomputed float-log geometry (a Rust
+    peer's libm may differ by 1 ULP at a floor boundary)."""
     seg_len, seg_cnt_len, num_fp = filter.filter_geometry(3, 5000)
     good = BinaryFuseFilter(
         seed=rng.bytes(32),
@@ -160,10 +162,42 @@ def test_param_serde_rejects_hostile_values(rng):
         dict(segment_length=1 << 18,
              segment_count_length=(1 << 31),
              num_fingerprints=(1 << 31) + 2 * (1 << 18)),
+        # seg_len above the construction cap (2^18)
+        dict(segment_length=1 << 20, segment_count_length=1 << 22,
+             num_fingerprints=(1 << 22) + 2 * (1 << 20),
+             filter_size=1 << 22),
     ):
         bad = BinaryFuseFilter(**{**good.__dict__, **mutate})
         with pytest.raises(FailedToDeserializeFilterFromBytes):
             BinaryFuseFilter.from_bytes(bad.to_bytes())
+
+
+def test_param_serde_tolerates_peer_libm_drift(rng):
+    """Interop guarantee: a peer whose libm puts segment_length one
+    power-of-two step off our recomputation (1-ULP log drift at a floor
+    boundary) still produces a STRUCTURALLY valid blob — from_bytes must
+    accept it (exact recomputation would hard-reject a valid Rust
+    server), and hash_batch's rows stay in range."""
+    filt_size = 5000
+    seg_len, _, _ = filter.filter_geometry(3, filt_size)
+    for drifted in (seg_len // 2, seg_len * 2):
+        # rebuild the downstream geometry the way construction would
+        # from the drifted seg_len (cap unchanged)
+        cap = filter._round_half_away(
+            filt_size * filter.size_factor(3, filt_size)
+        )
+        init = -(-cap // drifted)
+        proposed = init  # array_len // seg_len == init by construction
+        seg_cnt = 1 if proposed < 3 else proposed - 2
+        blob = BinaryFuseFilter(
+            seed=rng.bytes(32), arity=3, segment_length=drifted,
+            segment_count_length=seg_cnt * drifted,
+            num_fingerprints=(seg_cnt + 2) * drifted,
+            filter_size=filt_size, mat_elem_bit_len=10,
+        ).to_bytes()
+        parsed = BinaryFuseFilter.from_bytes(blob)
+        h, rows = parsed.hash_rows_of_key(b"drift-key")
+        assert (rows < parsed.num_fingerprints).all()
 
 
 def test_round_half_away_matches_rust():
