@@ -45,6 +45,30 @@ def test_bench_run_config_numpy_backend(monkeypatch):
     assert rec["respond_scan_GBps"] > 0
 
 
+def test_bench_serve_qps_stage_end_to_end(monkeypatch):
+    """_run_serve_qps drives the REAL net/ TCP surface; run it tiny on
+    the numpy backend so a broken helper (or a stale keyword in the
+    h2d_rate wiring) can't first surface in the official driver run."""
+    import bench
+
+    import chalametpir_tpu.models.server as server_mod
+
+    orig = server_mod.Server.setup.__func__
+
+    def numpy_setup(cls, seed, db, **kw):
+        kw["backend"] = "numpy"
+        return orig(cls, seed, db, **kw)
+
+    monkeypatch.setattr(server_mod.Server, "setup", classmethod(numpy_setup))
+    rng = np.random.default_rng(3)
+    rec = bench._run_serve_qps(
+        rng, log_n=8, n_conns=2, per_conn=2, max_batch=2, h2d_rate=0.03
+    )
+    assert rec["serve_qps"] > 0
+    assert rec["serve_queries"] == 4
+    assert "serve_qps_link_ceiling" in rec
+
+
 def test_bench_emits_valid_json_lines():
     """Tiny full bench run in a subprocess on the CPU backend: every
     stdout line must be a valid JSON record carrying the headline metric."""
