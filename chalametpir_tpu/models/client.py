@@ -356,7 +356,7 @@ class Client:
         spawn, and leave the pool below target until the next pop."""
         while True:
             with self._prepared_lock:
-                need = (self._refill_target or 0) - len(self._prepared)
+                need = self._refill_target - len(self._prepared)
                 if need <= 0:
                     self._refill_thread = None
                     return

@@ -216,19 +216,14 @@ class PirTcpServer:
                 except ChalametPIRError as exc:
                     print(f"Bad query from {peer}: {exc}", file=sys.stderr)
                     break
-                except ConnectionError:
-                    # dispatcher closed/stopped under this request (server
-                    # shutdown racing a late query): drop the peer cleanly
-                    # instead of leaking an unhandled task exception
-                    break
                 write_frame(writer, response)
                 await writer.drain()
         except ConnectionError:
-            # a peer aborting mid-handshake or mid-response (reset,
-            # aborted, broken pipe) is the same normal departure the read
-            # path treats as EOF — without this the drain() raise escapes
-            # handle() as an unhandled task exception on every ordinary
-            # client abort
+            # one handler for every normal departure: a peer aborting
+            # mid-handshake or mid-response (reset/aborted/broken pipe),
+            # AND the dispatcher's own ConnectionError when shutdown races
+            # a late query — without this each escapes handle() as an
+            # unhandled task exception
             pass
         finally:
             self._active -= 1
