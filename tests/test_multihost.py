@@ -45,6 +45,39 @@ def test_payload_shape_is_header_derived():
     assert _payload_shape((1 << 20) + 1) == 1 << 21
 
 
+def test_leader_respond_poisons_after_broadcast_failure(rng):
+    """SPMD failure contract: a respond failing AFTER its batch broadcast
+    leaves the workers inside that batch's collective — continuing to
+    serve would issue a mismatched collective and wedge the transport
+    silently. The wrapper must re-raise the original error once, then
+    fail fast on every later call (single-process drive: broadcast_query
+    passes through, so the contract is testable without a cluster)."""
+    import numpy as np
+
+    from chalametpir_tpu.models.server import Server
+    from chalametpir_tpu.net.server import DEMO_DB
+    from chalametpir_tpu.parallel import multihost
+
+    seed = rng.bytes(32)
+    server, _, _ = Server.setup(seed, DEMO_DB, backend="numpy", rng=rng)
+    boom = {"on": True}
+    orig = server.respond_batch
+
+    def flaky(rows):
+        if boom["on"]:
+            raise RuntimeError("transient device failure")
+        return orig(rows)
+
+    server.respond_batch = flaky
+    fn = multihost.leader_respond_batch_fn(server, max_batch=4)
+    rows = np.zeros((1, server.num_query_cols), np.uint32)
+    with pytest.raises(RuntimeError, match="transient device failure"):
+        fn(rows)
+    boom["on"] = False  # even a now-healthy respond must NOT run again
+    with pytest.raises(RuntimeError, match="poisoned"):
+        fn(rows)
+
+
 def test_warmup_collectives_single_process_noop():
     """In a single-process runtime there is no cross-process communicator
     to form: warmup must return immediately without touching the
