@@ -29,6 +29,17 @@ except Exception:  # pragma: no cover - native build unavailable
     _native = None
 
 
+def _reject_empty_values(values: list[bytes]) -> None:
+    """0-byte values encode fine but are PERMANENTLY unretrievable: the
+    row codec requires the 0x81 boundary marker strictly after the 32-byte
+    digest (serialization.rs:164-183 and our codec alike), so an empty
+    value always decodes as RowNotDecodable. Reject at encode depth so
+    direct core users surface the data loss at setup, not at every future
+    query (Server.setup has the same guard with a friendlier message)."""
+    if any(len(v) == 0 for v in values):
+        raise ValueError("0-byte values are not encodable by the row codec")
+
+
 def from_kv_database(
     db: dict[bytes, bytes],
     arity: int,
@@ -42,6 +53,7 @@ def from_kv_database(
         raise EmptyKVDatabase()
     keys = list(db.keys())
     values = list(db.values())
+    _reject_empty_values(values)
 
     digests = hashing.hash_of_keys_batch(keys)  # (n, 4) uint64 words
     filt, reverse_order, reverse_h, key_index = construct_filter(
@@ -133,6 +145,7 @@ def from_kv_database_streaming(
     with telemetry.span("encode_stream.listify"):
         keys = list(db.keys())
         values = list(db.values())
+    _reject_empty_values(values)
 
     with telemetry.span("encode_stream.hash"):
         digests = hashing.hash_of_keys_batch(keys)

@@ -222,10 +222,13 @@ extern "C" {
 // Count degrees and peel. hashes: n fused (deduplicated) key hashes.
 // Outputs reverse_order (peel-order hashes) and reverse_h (slot codes).
 // Returns 1 on success, 0 when peeling stalls (caller retries with a new
-// seed) — mirrors binary_fuse_filter.rs:102-215.
+// seed) — mirrors binary_fuse_filter.rs:102-215. Returns -1 when the
+// working vectors (13 B/slot) cannot be allocated: a bad_alloc must not
+// unwind through the ctypes FFI frames (std::terminate -> process
+// abort); the binding converts -1 into a Python MemoryError.
 int32_t bff_peel(const uint64_t* hashes, int64_t n, int64_t num_fp,
                  uint32_t arity, uint32_t seg_len, uint32_t seg_cnt_len,
-                 uint64_t* reverse_order, uint8_t* reverse_h) {
+                 uint64_t* reverse_order, uint8_t* reverse_h) try {
   std::vector<int32_t> count(num_fp, 0);
   std::vector<uint64_t> hxor(num_fp, 0);
   std::vector<uint8_t> pxor(num_fp, 0);
@@ -269,6 +272,8 @@ int32_t bff_peel(const uint64_t* hashes, int64_t n, int64_t num_fp,
     }
   }
   return top == n ? 1 : 0;
+} catch (const std::bad_alloc&) {
+  return -1;
 }
 
 // Bit-pack (digest || value || 0x81) streams into b-bit row elements
@@ -324,94 +329,15 @@ void assemble_rows(uint32_t* mat, const uint32_t* enc_rows,
   }
 }
 
-// Fused row-encode + reverse-peel-order assembly into a uint16 matrix D.
-//
-// Equivalent to encode_rows followed by assemble_rows, but the encoded row
-// lives in a ~4 KB scratch buffer instead of a GB-scale intermediate array
-// (whose page-in alone dominated setup), and D is uint16: every element is
-// < 2^b <= 2^14, and all the mod-2^b algebra commutes with mod-2^16
-// wraparound. Inputs are in *original key order*; key_index[i] maps peel
-// position i to the original row (reference: matrix.rs:707-746, 839-885 +
-// serialization.rs:22-116 for the row codec).
-void encode_assemble_rows16(const uint8_t* digests,
-                            const uint8_t* const* value_ptrs,
-                            const int64_t* value_lens, const int64_t* key_index,
-                            const uint64_t* reverse_order,
-                            const uint8_t* reverse_h, int64_t n, int32_t b,
-                            int64_t cols, uint32_t arity, uint32_t seg_len,
-                            uint32_t seg_cnt_len, uint16_t* mat) {
-  const uint32_t mask = (1u << b) - 1;
-  std::vector<uint8_t> stream(static_cast<size_t>((cols * b + 7) / 8 + 8), 0);
-  std::vector<uint16_t> enc(static_cast<size_t>(cols));
-  std::vector<uint16_t> msk(static_cast<size_t>(cols));
-  uint32_t rows[4];
-  for (int64_t i = n - 1; i >= 0; --i) {
-    const int64_t src = key_index[i];
-    const int64_t vlen = value_lens[src];
-    // stream = digest || value || 0x81 || zero tail; values are read
-    // straight out of the caller's (Python bytes) buffers — at GB scale a
-    // contiguous join costs more in page faults than the whole encode
-    std::memcpy(stream.data(), digests + 32 * src, 32);
-    std::memcpy(stream.data() + 32, value_ptrs[src],
-                static_cast<size_t>(vlen));
-    stream[static_cast<size_t>(32 + vlen)] = 0x81;
-    std::memset(stream.data() + 33 + vlen, 0, stream.size() - 33 - vlen);
-    // branchless extraction: b <= 14 and bit%8 <= 7 need at most 21 bits,
-    // so one unaligned u32 load covers any element (no refill branch, no
-    // loop-carried dependency)
-    const uint8_t* sp = stream.data();
-    int64_t bit = 0;
-    for (int64_t e = 0; e < cols; ++e, bit += b) {
-      uint32_t w;
-      std::memcpy(&w, sp + (bit >> 3), 4);
-      enc[static_cast<size_t>(e)] =
-          static_cast<uint16_t>((w >> (bit & 7)) & mask);
-    }
-
-    const uint64_t h = reverse_order[i];
-    const uint8_t code = reverse_h[i];
-    hash_rows(h, arity, seg_len, seg_cnt_len, rows);
-    // split loops so each one auto-vectorises (AVX512: vpmullq exists)
-    for (int64_t c = 0; c < cols; ++c)
-      msk[static_cast<size_t>(c)] = static_cast<uint16_t>(
-          murmur64(h + static_cast<uint64_t>(c)));
-    uint16_t* dst = mat + static_cast<int64_t>(rows[code]) * cols;
-    const uint16_t* o1 = mat + static_cast<int64_t>(rows[(code + 1) % arity]) * cols;
-    const uint16_t* o2 = mat + static_cast<int64_t>(rows[(code + 2) % arity]) * cols;
-    if (arity == 4) {
-      const uint16_t* o3 = mat + static_cast<int64_t>(rows[(code + 3) % arity]) * cols;
-      for (int64_t c = 0; c < cols; ++c)
-        dst[c] = static_cast<uint16_t>(
-            (enc[static_cast<size_t>(c)] - o1[c] - o2[c] - o3[c] -
-             msk[static_cast<size_t>(c)]) & mask);
-    } else {
-      for (int64_t c = 0; c < cols; ++c)
-        dst[c] = static_cast<uint16_t>(
-            (enc[static_cast<size_t>(c)] - o1[c] - o2[c] -
-             msk[static_cast<size_t>(c)]) & mask);
-    }
-  }
-}
-
-// --- streaming (chunk-ordered) encode ------------------------------------
-//
-// encode_assemble_rows16 processes peel entries in reverse peel order, so
-// the rows of D become final in hash-scattered order and nothing can
-// consume D until the whole pass ends. The ordered variant executes the
-// same per-entry assignments in a *chunk-priority topological order*:
-// fingerprint-row chunk 0's writers (and their transitive dependencies)
-// run first, then chunk 1's, etc. This is semantics-preserving: each row
-// is written exactly once, and in the original order every row an entry
-// reads is already final when read (a later write to a read row would
-// mean that slot had degree >= 2 at the earlier entry's peel time —
-// contradiction with it having been a degree-1 peel slot). The only
-// ordering constraints are therefore write-before-read edges, which the
-// topological execution preserves. Per-chunk progress counters let the
-// caller pack + upload + hint-fold each chunk while later chunks are
-// still being assembled.
-
 namespace {
 
+struct StepCtx;
+static void assemble_one(StepCtx& ctx, int64_t i);
+
+// Shared per-entry state of the fused encode+assemble: both the batch
+// entry point (encode_assemble_rows16) and the chunk-ordered one
+// (encode_assemble_rows16_ordered) run the SAME per-entry assignment
+// through assemble_one, so the encode/assemble math exists exactly once.
 struct StepCtx {
   const uint8_t* digests;
   const uint8_t* const* value_ptrs;
@@ -425,10 +351,27 @@ struct StepCtx {
   uint16_t* mat;
   std::vector<uint8_t> stream;
   std::vector<uint16_t> enc, msk;
+
+  StepCtx(const uint8_t* digests_, const uint8_t* const* value_ptrs_,
+          const int64_t* value_lens_, const int64_t* key_index_,
+          const uint64_t* reverse_order_, const uint8_t* reverse_h_,
+          int32_t b_, int64_t cols_, uint32_t arity_, uint32_t seg_len_,
+          uint32_t seg_cnt_len_, uint16_t* mat_)
+      : digests(digests_), value_ptrs(value_ptrs_), value_lens(value_lens_),
+        key_index(key_index_), reverse_order(reverse_order_),
+        reverse_h(reverse_h_), b(b_), cols(cols_), arity(arity_),
+        seg_len(seg_len_), seg_cnt_len(seg_cnt_len_), mat(mat_),
+        stream(static_cast<size_t>((cols_ * b_ + 7) / 8 + 8), 0),
+        enc(static_cast<size_t>(cols_)), msk(static_cast<size_t>(cols_)) {}
 };
 
-// One peel entry's assignment: D[rows[code]] = (enc - sum others - mask).
-// Identical math to the loop body of encode_assemble_rows16.
+// One peel entry's assignment:
+//   D[rows[code]] = (enc - sum others - mask) mod 2^b
+// stream = digest || value || 0x81 || zero tail, read straight out of the
+// caller's (Python bytes) buffers — at GB scale a contiguous join costs
+// more in page faults than the whole encode. Branchless extraction:
+// b <= 14 and bit%8 <= 7 need at most 21 bits, so one unaligned u32 load
+// covers any element (no refill branch, no loop-carried dependency).
 static void assemble_one(StepCtx& ctx, int64_t i) {
   const uint32_t mask = (1u << ctx.b) - 1;
   const int64_t cols = ctx.cols;
@@ -451,6 +394,7 @@ static void assemble_one(StepCtx& ctx, int64_t i) {
   const uint8_t code = ctx.reverse_h[i];
   uint32_t rows[4];
   hash_rows(h, ctx.arity, ctx.seg_len, ctx.seg_cnt_len, rows);
+  // split loops so each one auto-vectorises (AVX512: vpmullq exists)
   for (int64_t c = 0; c < cols; ++c)
     ctx.msk[static_cast<size_t>(c)] =
         static_cast<uint16_t>(murmur64(h + static_cast<uint64_t>(c)));
@@ -475,6 +419,44 @@ static void assemble_one(StepCtx& ctx, int64_t i) {
 }
 
 }  // namespace
+
+// Fused row-encode + reverse-peel-order assembly into a uint16 matrix D.
+//
+// Equivalent to encode_rows followed by assemble_rows, but the encoded row
+// lives in a ~4 KB scratch buffer instead of a GB-scale intermediate array
+// (whose page-in alone dominated setup), and D is uint16: every element is
+// < 2^b <= 2^14, and all the mod-2^b algebra commutes with mod-2^16
+// wraparound. Inputs are in *original key order*; key_index[i] maps peel
+// position i to the original row (reference: matrix.rs:707-746, 839-885 +
+// serialization.rs:22-116 for the row codec).
+void encode_assemble_rows16(const uint8_t* digests,
+                            const uint8_t* const* value_ptrs,
+                            const int64_t* value_lens, const int64_t* key_index,
+                            const uint64_t* reverse_order,
+                            const uint8_t* reverse_h, int64_t n, int32_t b,
+                            int64_t cols, uint32_t arity, uint32_t seg_len,
+                            uint32_t seg_cnt_len, uint16_t* mat) {
+  StepCtx ctx(digests, value_ptrs, value_lens, key_index, reverse_order,
+              reverse_h, b, cols, arity, seg_len, seg_cnt_len, mat);
+  for (int64_t i = n - 1; i >= 0; --i) assemble_one(ctx, i);
+}
+
+// --- streaming (chunk-ordered) encode ------------------------------------
+//
+// encode_assemble_rows16 processes peel entries in reverse peel order, so
+// the rows of D become final in hash-scattered order and nothing can
+// consume D until the whole pass ends. The ordered variant executes the
+// same per-entry assignments in a *chunk-priority topological order*:
+// fingerprint-row chunk 0's writers (and their transitive dependencies)
+// run first, then chunk 1's, etc. This is semantics-preserving: each row
+// is written exactly once, and in the original order every row an entry
+// reads is already final when read (a later write to a read row would
+// mean that slot had degree >= 2 at the earlier entry's peel time —
+// contradiction with it having been a degree-1 peel slot). The only
+// ordering constraints are therefore write-before-read edges, which the
+// topological execution preserves. Per-chunk progress counters let the
+// caller pack + upload + hint-fold each chunk while later chunks are
+// still being assembled.
 
 extern "C" {
 
@@ -553,12 +535,8 @@ void encode_assemble_rows16_ordered(
           fill[dstrow[static_cast<size_t>(i)] / chunk_rows]++)] = i;
   }
 
-  StepCtx ctx{digests, value_ptrs, value_lens, key_index,
-              reverse_order, reverse_h, b, cols,
-              arity, seg_len, seg_cnt_len, mat,
-              std::vector<uint8_t>(static_cast<size_t>((cols * b + 7) / 8 + 8), 0),
-              std::vector<uint16_t>(static_cast<size_t>(cols)),
-              std::vector<uint16_t>(static_cast<size_t>(cols))};
+  StepCtx ctx(digests, value_ptrs, value_lens, key_index, reverse_order,
+              reverse_h, b, cols, arity, seg_len, seg_cnt_len, mat);
 
   std::vector<uint8_t> done(static_cast<size_t>(n), 0);
   std::vector<int64_t> stack;

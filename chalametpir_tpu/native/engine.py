@@ -266,8 +266,48 @@ def hash_keys(keys: list[bytes]) -> np.ndarray:
     return out.view("<u8").reshape(n, 4)
 
 
+def _check_geometry(arity: int, seg_len: int, seg_cnt_len: int,
+                    num_fp: int | None = None) -> int:
+    """The C side indexes its slot/count/matrix arrays with hash_batch
+    rows and trusts these params completely — enforce at this binding (the
+    declared trust boundary) the same structural contract
+    core.filter.BinaryFuseFilter.from_bytes enforces for wire blobs: a
+    power-of-two seg_len, seg_cnt_len a positive multiple of it, and
+    num_fp covering the full hash row space. Returns that row space."""
+    if arity not in (3, 4):
+        raise ValueError("arity must be 3 or 4")
+    if seg_len <= 0 or (seg_len & (seg_len - 1)) != 0:
+        raise ValueError("segment_length must be a positive power of two")
+    if seg_cnt_len < seg_len or seg_cnt_len % seg_len != 0:
+        raise ValueError(
+            "segment_count_length must be a positive multiple of segment_length"
+        )
+    span = seg_cnt_len + (arity - 1) * seg_len
+    if num_fp is not None and num_fp < span:
+        raise ValueError("num_fingerprints smaller than the hash row space")
+    return span
+
+
+def _check_peel_codes(reverse_h: np.ndarray, arity: int) -> None:
+    """reverse_h codes select among `arity` hash rows in C with no bounds
+    check (a bad code reads a garbage row index off the stack and writes
+    matrix rows at an attacker-influenced offset)."""
+    if reverse_h.size and int(reverse_h.max()) >= arity:
+        raise ValueError("reverse_h code out of range for arity")
+
+
+def _check_row_capacity(value_lens: np.ndarray, b: int, cols: int) -> None:
+    """Every encoded stream (32-byte digest + value + 0x81 marker) must
+    fit the cols*b-bit row: an oversized value would overflow the C scratch
+    buffer (and size_t-underflow its tail memset). Construction sizes cols
+    from the max value length, so a violation here is caller error."""
+    if value_lens.size and (33 + int(value_lens.max())) * 8 > cols * b:
+        raise ValueError("value too long for the cols*b row capacity")
+
+
 def bff_peel(hashes: np.ndarray, num_fp: int, arity: int, seg_len: int, seg_cnt_len: int):
     """Returns (reverse_order, reverse_h) or None when peeling stalls."""
+    _check_geometry(arity, seg_len, seg_cnt_len, num_fp)
     hashes = np.ascontiguousarray(hashes, np.uint64)
     n = hashes.shape[0]
     reverse_order = np.empty(n, np.uint64)
@@ -276,6 +316,10 @@ def bff_peel(hashes: np.ndarray, num_fp: int, arity: int, seg_len: int, seg_cnt_
         _ptr(hashes, _u64p), n, num_fp, arity, seg_len, seg_cnt_len,
         _ptr(reverse_order, _u64p), _ptr(reverse_h, _u8p),
     )
+    if ok < 0:
+        # the C side caught bad_alloc on its ~13 B/slot working vectors
+        # (letting it unwind through the FFI would abort the process)
+        raise MemoryError(f"bff_peel working set for {num_fp} slots")
     if not ok:
         return None
     return reverse_order, reverse_h
@@ -286,6 +330,7 @@ def encode_rows(digests: np.ndarray, values: list[bytes], b: int, cols: int) -> 
     n = digests.shape[0]
     offsets = np.zeros(n + 1, np.int64)
     np.cumsum(np.fromiter(map(len, values), np.int64, count=n), out=offsets[1:])
+    _check_row_capacity(np.diff(offsets), b, cols)
     data = np.frombuffer(b"".join(values), np.uint8) if offsets[-1] else np.zeros(1, np.uint8)
     out = alloc_array((n, cols), np.uint32)
     _lib.encode_rows(
@@ -303,6 +348,8 @@ def assemble_rows(mat, enc_rows, reverse_order, reverse_h, hrows, b, *, filt=Non
     enc_c = np.ascontiguousarray(enc_rows, np.uint32)
     ro = np.ascontiguousarray(reverse_order, np.uint64)
     rh = np.ascontiguousarray(reverse_h, np.uint8)
+    _check_geometry(arity, seg_len, seg_cnt_len, mat_c.shape[0])
+    _check_peel_codes(rh, arity)
     _lib.assemble_rows(
         _ptr(mat_c, _u32p), _ptr(enc_c, _u32p), _ptr(ro, _u64p), _ptr(rh, _u8p),
         n, cols, arity, seg_len, seg_cnt_len, b,
@@ -339,6 +386,11 @@ def encode_assemble_rows16(
     ki = np.ascontiguousarray(key_index, np.int64)
     ro = np.ascontiguousarray(reverse_order, np.uint64)
     rh = np.ascontiguousarray(reverse_h, np.uint8)
+    _check_geometry(arity, seg_len, seg_cnt_len, num_fp)
+    _check_peel_codes(rh, arity)
+    _check_row_capacity(value_lens, b, cols)
+    if ki.size and (int(ki.min()) < 0 or int(ki.max()) >= n):
+        raise ValueError("key_index out of range")
     mat = alloc_array((num_fp, cols), np.uint16, nothp=True)
     _lib.encode_assemble_rows16(
         _ptr(digests, _u8p), value_ptrs, _ptr(value_lens, _i64p),
@@ -361,6 +413,10 @@ def assemble_plan(
     the completion targets for the streaming encode's progress array."""
     ro = np.ascontiguousarray(reverse_order, np.uint64)
     rh = np.ascontiguousarray(reverse_h, np.uint8)
+    span = _check_geometry(arity, seg_len, seg_cnt_len)
+    _check_peel_codes(rh, arity)
+    if chunk_rows <= 0 or n_chunks * chunk_rows < span:
+        raise ValueError("chunk grid does not cover the hash row space")
     expected = np.zeros(n_chunks, np.int64)
     _lib.assemble_plan(
         _ptr(ro, _u64p), _ptr(rh, _u8p), ro.shape[0], arity, seg_len,
@@ -398,6 +454,13 @@ def encode_assemble_rows16_ordered(
     rh = np.ascontiguousarray(reverse_h, np.uint8)
     num_fp, cols = mat.shape
     n_chunks = progress.shape[0]
+    _check_geometry(arity, seg_len, seg_cnt_len, num_fp)
+    _check_peel_codes(rh, arity)
+    _check_row_capacity(value_lens, b, cols)
+    if ki.size and (int(ki.min()) < 0 or int(ki.max()) >= n):
+        raise ValueError("key_index out of range")
+    if chunk_rows <= 0 or n_chunks * chunk_rows < num_fp:
+        raise ValueError("chunk grid does not cover the matrix rows")
     _lib.encode_assemble_rows16_ordered(
         _ptr(digests, _u8p), value_ptrs, _ptr(value_lens, _i64p),
         _ptr(ki, _i64p), _ptr(ro, _u64p), _ptr(rh, _u8p),
@@ -428,6 +491,10 @@ def ternary_matvec(codes: np.ndarray, mat: np.ndarray) -> np.ndarray:
     codes = np.ascontiguousarray(codes, np.int8)
     mat = np.ascontiguousarray(mat, np.uint32)
     k, m = mat.shape
+    if codes.shape[0] != k:
+        # C reads codes[r] for every matrix row: a short vector would feed
+        # out-of-bounds garbage bytes in as secret coefficients
+        raise ValueError("codes length != matrix rows")
     out = np.empty(m, np.uint32)
     _lib.ternary_matvec(_ptr(codes, _i8p), _ptr(mat, _u32p), k, m, _ptr(out, _u32p))
     return out
@@ -437,6 +504,8 @@ def mix256_scalar(key_words: np.ndarray, seed: bytes) -> int:
     """Fold one 4-word hashed key with a 32-byte seed -> fused uint64."""
     kw = np.ascontiguousarray(key_words, np.uint64)
     sw = np.frombuffer(seed, np.uint8)
+    if sw.size != 32:  # C memcpys 32 bytes unconditionally
+        raise ValueError("filter seed must be 32 bytes")
     return int(_lib.mix256_scalar(_ptr(kw, _u64p), _ptr(sw, _u8p)))
 
 
@@ -463,6 +532,8 @@ def client_process_response(
     value bytes, or -1 (not decodable) / -2 (digest mismatch)."""
     kb = np.frombuffer(key, np.uint8) if key else np.zeros(1, np.uint8)
     sb = np.frombuffer(filter_seed, np.uint8)
+    if sb.size != 32:  # the C mix256 memcpys 32 bytes unconditionally
+        raise ValueError("filter seed must be 32 bytes")
     resp = np.ascontiguousarray(resp, np.uint32)
     vec_c = np.ascontiguousarray(vec_c, np.uint32)
     cols = resp.shape[0]
@@ -493,6 +564,8 @@ def client_process_response_wire(
     (callers cache arr.ctypes.data — the property costs ~1 us per access,
     real money at a ~10 us budget). Returns the value length or -1/-2/-3;
     on success out[32:32+n] holds the value (out[:32] the digest)."""
+    if len(filter_seed) != 32:  # the C mix256 memcpys 32 bytes
+        raise ValueError("filter seed must be 32 bytes")
     return _client_process_response_wire_fn(
         key, len(key), filter_seed, response_bytes, len(response_bytes),
         vec_c_ptr, cols, b, out_ptr,

@@ -177,3 +177,75 @@ def test_build_packed_planes_out_reuse_matches_fresh(rng):
         engine.build_packed_planes(
             mats[0][:, :64], m, 64, pack, bits, tight_lo=True, out=bufs
         )
+
+
+def test_binding_boundary_validation(rng):
+    """engine.py is the C trust boundary: geometry, peel codes, key_index,
+    value lengths, seed lengths, and codes lengths are all used unchecked
+    on the C side (OOB writes/reads there), so the bindings must reject
+    inconsistent values with typed Python errors."""
+    import pytest as _pytest
+
+    from chalametpir_tpu.native import engine
+
+    hashes = np.sort(rng.integers(1, 1 << 63, size=16, dtype=np.uint64))
+    # geometry: non-power-of-two seg_len, short num_fp, bad multiples
+    with _pytest.raises(ValueError):
+        engine.bff_peel(hashes, 40, 3, 5, 10)
+    with _pytest.raises(ValueError):
+        engine.bff_peel(hashes, 10, 3, 8, 16)  # num_fp < row space
+    with _pytest.raises(ValueError):
+        engine.bff_peel(hashes, 48, 3, 8, 12)  # not a multiple
+
+    digests = rng.integers(0, 256, size=(2, 32), dtype=np.uint8)
+    values = [b"ab", b"cd"]
+    ki = np.array([0, 1], np.int64)
+    ro = rng.integers(1, 1 << 63, size=2, dtype=np.uint64)
+    good_rh = np.array([0, 1], np.uint8)
+    # peel code out of range for arity
+    with _pytest.raises(ValueError):
+        engine.encode_assemble_rows16(
+            digests, values, ki, ro, np.array([0, 200], np.uint8),
+            10, 32, 48, 3, 8, 32,
+        )
+    # key_index out of range
+    with _pytest.raises(ValueError):
+        engine.encode_assemble_rows16(
+            digests, values, np.array([0, 5], np.int64), ro, good_rh,
+            10, 32, 48, 3, 8, 32,
+        )
+    # value too long for the cols*b row (would overflow the C scratch)
+    with _pytest.raises(ValueError):
+        engine.encode_assemble_rows16(
+            digests, [b"ab", b"x" * 4096], ki, ro, good_rh,
+            10, 32, 48, 3, 8, 32,
+        )
+    # chunk grid must cover the row space
+    with _pytest.raises(ValueError):
+        engine.assemble_plan(ro, good_rh, 3, 8, 32, 0, 4)
+    with _pytest.raises(ValueError):
+        engine.assemble_plan(ro, good_rh, 3, 8, 32, 8, 2)
+
+    # short filter seed (C memcpys 32 bytes unconditionally)
+    with _pytest.raises(ValueError):
+        engine.mix256_scalar(np.zeros(4, np.uint64), b"short")
+    with _pytest.raises(ValueError):
+        engine.client_process_response_wire(b"k", b"short", b"x" * 16, 0, 4, 10, 0)
+    # codes length must match the matrix rows
+    with _pytest.raises(ValueError):
+        engine.ternary_matvec(
+            np.zeros(3, np.int8), np.zeros((5, 7), np.uint32)
+        )
+
+
+def test_encode_db_rejects_empty_values(rng):
+    """Empty values encode but can never decode (the 0x81 marker must sit
+    strictly after the digest) — the core encoder rejects them loudly,
+    matching Server.setup's guard, so direct core users can't build a DB
+    with permanently unretrievable entries."""
+    import pytest as _pytest
+
+    from chalametpir_tpu.core import encode_db
+
+    with _pytest.raises(ValueError, match="0-byte"):
+        encode_db.from_kv_database({b"k1": b"v", b"k2": b""}, 3, 10, 100, rng)
