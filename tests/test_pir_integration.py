@@ -381,3 +381,43 @@ def test_malformed_response_error_type_matches_native(rng):
             client_mod._native = orig
     # pending survived both attempts: the genuine response still decodes
     assert client.process_response(key, server.respond(query)) == db[key]
+
+
+def test_value_bytes_are_unauthenticated_like_reference(rng):
+    """Contract pin: process_response authenticates ONLY the 32-byte
+    hashed-key prefix (reference: client.rs:244-259 + serialization.rs:
+    132-184) — value bytes carry no MAC. A response whose corruption
+    lands entirely inside value elements therefore decodes WITHOUT error
+    to a different value (PIR gives no integrity against a byzantine
+    server; both implementations share this semantics). Pinned so a
+    future "fix" that authenticates values doesn't silently break
+    reference parity; digest-region corruption must still be rejected."""
+    from chalametpir_tpu.params import query_indicator
+
+    db = generate_random_kv_database(120, rng=rng, value_byte_len=(32, 32))
+    seed = rng.bytes(32)
+    server, hint, fparams = Server.setup(seed, db, backend="numpy", rng=rng)
+    client = Client.setup(seed, hint, fparams, device=False)
+    b = server.mat_elem_bit_len
+    delta = query_indicator(b)
+    key = next(iter(db))
+
+    def respond_with_bump(element_index):
+        # +delta on one response element shifts exactly that decoded
+        # b-bit digit by +1 (rounding is exact: the added noise is a
+        # whole indicator step), leaving every other digit untouched
+        resp = np.frombuffer(server.respond(_query_with_retry(client, key)),
+                             np.uint8)[8:].view("<u4").copy()
+        resp[element_index] += np.uint32(delta)
+        hdr = np.array([1, resp.shape[0]], "<u4").tobytes()
+        return hdr + resp.tobytes()
+
+    # a value-region element: fully inside bits [256, 256 + 8*32)
+    e_val = -(-256 // b)
+    assert (e_val + 1) * b <= 256 + 8 * 32
+    wrong = client.process_response(key, respond_with_bump(e_val))
+    assert len(wrong) == 32 and wrong != db[key]
+
+    # the same bump inside the digest region MUST be rejected
+    with pytest.raises(DecodedRowNotPrependedWithDigestOfKey):
+        client.process_response(key, respond_with_bump(0))
